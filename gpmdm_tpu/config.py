@@ -1,0 +1,151 @@
+"""Model configuration for GPMDM.
+
+Mirrors the constructor schema of the reference implementation
+(`/root/reference/gpmdm/gpmdm.py:96-237` and its persisted form at
+`gpmdm.py:1317-1336`): observation dim D, latent dim d, number of classes,
+dynamics target ('full' | 'delta'), dynamics back-step (1 | 2), initial kernel
+hyperparameters, per-hyperparameter trainability flags, and numerical-jitter
+noise values.
+
+Everything here is static (hashable) so a config can be closed over by
+``jax.jit`` without retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GPMDMConfig:
+    """Static configuration of a GPMDM model.
+
+    Attributes
+    ----------
+    D:
+        Observation space dimension.
+    d:
+        Latent space dimension.
+    n_classes:
+        Number of classes (each with its own dynamics GP).
+    dyn_target:
+        Dynamics regression target: ``'full'`` predicts ``x(t+1)``,
+        ``'delta'`` predicts ``x(t+1) - x(t)``.
+    dyn_back_step:
+        Dynamics memory: 1 uses ``x(t)`` as input, 2 uses ``[x(t), x(t-1)]``.
+    sigma_n_num_Y / sigma_n_num_X:
+        Additional noise std added to the observation / dynamics Gram
+        diagonals for numerical robustness (reference ``sigma_n_num_*``,
+        gpmdm.py:232-234).
+    class_jitter:
+        Jitter added to each per-class dynamics Gram block before inversion
+        (reference hard-codes 1e-6 at gpmdm.py:1302).
+    flg_train_*:
+        Whether the corresponding hyperparameter receives gradient updates
+        (reference ``requires_grad`` flags, gpmdm.py:104-107).
+    balance_fix:
+        The reference has a latent bug where the ``balance`` factor passed to
+        ``train_adam`` binds to an unused parameter so the effective balance
+        is always 1 (gpmdm.py:721-726 vs :866).  With ``balance_fix=True``
+        (default) the balance factor is honored; set False for bug-for-bug
+        reference parity.
+    dtype:
+        'float32' | 'float64' | 'bfloat16' — compute dtype for model state.
+    """
+
+    D: int
+    d: int
+    n_classes: int
+    dyn_target: str = "full"
+    dyn_back_step: int = 1
+    sigma_n_num_Y: float = 0.0
+    sigma_n_num_X: float = 0.0
+    class_jitter: float = 1e-6
+    flg_train_y_lambdas: bool = True
+    flg_train_y_lengthscales: bool = True
+    flg_train_y_sigma_n: bool = True
+    flg_train_x_lambdas: bool = True
+    flg_train_x_lengthscales: bool = True
+    flg_train_x_sigma_n: bool = True
+    flg_train_x_lin_coeff: bool = True
+    balance_fix: bool = True
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.dyn_target not in ("full", "delta"):
+            raise ValueError("dyn_target must be 'full' or 'delta'")
+        if self.dyn_back_step not in (1, 2):
+            raise ValueError("dyn_back_step must be 1 or 2")
+        if self.n_classes < 1:
+            raise ValueError("n_classes must be >= 1")
+
+    @property
+    def dyn_input_dim(self) -> int:
+        """Dimension of the dynamics GP input: d * back_step."""
+        return self.d * self.dyn_back_step
+
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype) if self.dtype != "bfloat16" else np.dtype("float32")
+
+    def replace(self, **kw) -> "GPMDMConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GPMDMConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer configuration (reference: ``train_adam`` args, gpmdm.py:817)."""
+
+    num_steps: int = 500
+    lr: float = 0.01
+    balance: float = 1.0
+    print_every: int = 0
+    checkpoint_every: int = 0
+    checkpoint_path: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PFConfig:
+    """Particle filter configuration (reference: GPMDM_PF ctor, gpmdm_pf.py:47).
+
+    Attributes
+    ----------
+    num_particles:
+        Number of particles P.
+    resampling:
+        'systematic' (TPU-friendly, sorted-uniform; default) or
+        'multinomial' (reference parity, gpmdm_pf.py:211).
+    compat_double_logdet:
+        The reference double-counts the log-determinant in the observation
+        log-likelihood (gpmdm_pf.py:189-191), producing an effective
+        ``-sum(log var)`` instead of ``-0.5*sum(log var)``.  True reproduces
+        that behavior; False (default) computes the correct diagonal
+        Gaussian log-pdf.
+    accumulate_weights:
+        If True, multiply the previous weights into the new ones
+        (w_t = p(z|x) * w_{t-1}).  The reference resets weights to the
+        current likelihood every frame (gpmdm_pf.py:200, valid because it
+        resamples every frame); default False for parity.
+    """
+
+    num_particles: int = 100
+    resampling: str = "systematic"
+    compat_double_logdet: bool = False
+    accumulate_weights: bool = False
+
+    def __post_init__(self):
+        if self.resampling not in ("systematic", "multinomial"):
+            raise ValueError("resampling must be 'systematic' or 'multinomial'")
+        if self.num_particles < 1:
+            raise ValueError("num_particles must be >= 1")

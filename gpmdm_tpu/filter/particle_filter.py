@@ -1,0 +1,416 @@
+"""Switching-state particle filter over a trained GPMDM.
+
+TPU-native re-design of the reference ``GPMDM_PF``
+(`/root/reference/gpmdm/gpmdm_pf.py`): the same four-stage update —
+
+1. Markov class transition   (reference _propogate_markov_switching, :137)
+2. per-class GP dynamics propagation  (_propogate_dynamics, :153)
+3. Gaussian observation weighting     (_update_weights, :170)
+4. resampling                          (_resample, :206)
+
+— but with every stage fully vectorized over particles:
+
+- the per-class Python gather loop (gpmdm_pf.py:158-168) becomes one batched
+  per-class GP evaluation for *all* particles x *all* classes (a single
+  einsum; C is small, so computing all class predictions and selecting by
+  particle class is cheaper than any dynamic gather on TPU — the
+  expert-parallel pattern),
+- the per-particle likelihood Python loop (gpmdm_pf.py:188-192, the
+  reference's bottleneck) becomes one batched diagonal-Gaussian log-pdf,
+- resampling defaults to systematic (single sorted-uniform pass, O(P),
+  deterministic layout) with multinomial available for reference parity,
+- a whole trial streams through ``lax.scan`` (:func:`pf_scan`), and banks of
+  independent filters vmap over a leading axis (:func:`pf_scan_bank`).
+
+Readouts (class posterior, observation log-likelihood, state mean) are
+computed *before* resampling each step, matching the reference's semantics
+(its ``_resample`` does not touch the weights the readouts use).
+
+Known reference quirks, handled via PFConfig flags (see config.py):
+- double-counted log-determinant in the observation likelihood
+  (gpmdm_pf.py:189-191) -> ``compat_double_logdet``;
+- weights reset to the current likelihood each frame instead of accumulating
+  (gpmdm_pf.py:198-200) -> ``accumulate_weights``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GPMDMConfig, PFConfig
+from ..models import core
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PFState:
+    """Particle filter state (reference gpmdm_pf.py:78-82).
+
+    ``x_prev`` carries x(t-1) for dyn_back_step=2 models (the reference PF
+    silently assumes back_step=1; we support both).
+    """
+
+    x: jax.Array  # (P, d) latent states
+    x_prev: jax.Array  # (P, d) previous latent states
+    c: jax.Array  # (P,) int32 class of each particle
+    log_w: jax.Array  # (P,) normalized log weights
+    log_lik: jax.Array  # (P,) observation log-likelihood of each particle
+    key: jax.Array  # PRNG key
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PFOutputs:
+    """Per-step readouts."""
+
+    class_probs: jax.Array  # (C,) posterior class probabilities
+    log_likelihood: jax.Array  # () weighted observation log-likelihood (up to scale)
+    state_mean: jax.Array  # (d,) weighted mean latent state
+    most_likely_class: jax.Array  # () int32 argmax of class_probs
+
+
+def _init_classes(num_particles: int, n_classes: int) -> np.ndarray:
+    """Split particles evenly across classes; first ``P mod C`` classes get
+    one extra (reference _divide_into_n_parts, gpmdm_pf.py:287-292)."""
+    base, rem = divmod(num_particles, n_classes)
+    counts = [base + (1 if i < rem else 0) for i in range(n_classes)]
+    return np.repeat(np.arange(n_classes, dtype=np.int32), counts)
+
+
+def pf_init(
+    post: core.Posterior,
+    y_class_offsets: np.ndarray,
+    key: jax.Array,
+    pf_cfg: PFConfig,
+) -> PFState:
+    """Initialize particles by sampling latent points (with replacement) from
+    each class's training data (reference _init_particles,
+    gpmdm_pf.py:87-115)."""
+    P = pf_cfg.num_particles
+    C = len(y_class_offsets) - 1
+    classes = jnp.asarray(_init_classes(P, C))
+    lo = jnp.asarray(y_class_offsets[:-1])[classes]  # (P,)
+    count = jnp.asarray(np.diff(y_class_offsets))[classes]  # (P,)
+    key, sub = jax.random.split(key)
+    u = jax.random.uniform(sub, (P,))
+    idx = lo + jnp.floor(u * count).astype(jnp.int32)
+    x = post.X[idx]
+    return PFState(
+        x=x,
+        x_prev=x,
+        c=classes,
+        log_w=jnp.full((P,), -jnp.log(float(P)), dtype=x.dtype),
+        log_lik=jnp.zeros((P,), dtype=x.dtype),
+        key=key,
+    )
+
+
+def _select_by_class(per_class: jax.Array, c: jax.Array) -> jax.Array:
+    """Select per-particle rows from a (C, P, d) array by class index -> (P, d)."""
+    pc = jnp.swapaxes(per_class, 0, 1)  # (P, C, d)
+    return jnp.take_along_axis(pc, c[:, None, None], axis=1)[:, 0, :]
+
+
+def observation_log_lik(
+    z: jax.Array, mean: jax.Array, var: jax.Array, D: int, compat_double_logdet: bool
+) -> jax.Array:
+    """Batched diagonal-Gaussian observation log-likelihood (vectorized form
+    of the reference per-particle loop, gpmdm_pf.py:188-192)."""
+    quad = jnp.sum((z[None, :] - mean) ** 2 / var, axis=1)
+    logdet = jnp.sum(jnp.log(var), axis=1)
+    logdet_coeff = 1.0 if compat_double_logdet else 0.5
+    return -0.5 * quad - logdet_coeff * logdet - 0.5 * D * _LOG_2PI
+
+
+def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
+    """Systematic (low-variance) resampling: one uniform draw, sorted
+    positions, O(P) searchsorted.  TPU-friendly replacement for per-frame
+    multinomial resampling (reference gpmdm_pf.py:206-213)."""
+    P = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cum = jnp.cumsum(w)
+    u = jax.random.uniform(key, (), dtype=w.dtype)
+    positions = (u + jnp.arange(P, dtype=w.dtype)) / P
+    return jnp.clip(jnp.searchsorted(cum, positions), 0, P - 1).astype(jnp.int32)
+
+
+def multinomial_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
+    """Multinomial resampling (reference parity, gpmdm_pf.py:211)."""
+    P = log_w.shape[0]
+    return jax.random.categorical(key, log_w, shape=(P,)).astype(jnp.int32)
+
+
+def pf_step(
+    state: PFState,
+    z: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """One full PF update (reference _update, gpmdm_pf.py:126-135).
+
+    Pure function: (state, observation) -> (new state, readouts).
+    """
+    P = state.x.shape[0]
+    key, k_trans, k_dyn, k_res = jax.random.split(state.key, 4)
+
+    # 1. Markov class transition: sample next class from T[c] per particle
+    #    (reference gpmdm_pf.py:137-151).
+    logits = log_T[state.c]  # (P, C)
+    c = jax.random.categorical(k_trans, logits).astype(jnp.int32)
+
+    # 2. Dynamics propagation: evaluate every class's GP for every particle,
+    #    select by class, sample from the predictive Gaussian
+    #    (reference gpmdm_pf.py:153-168; per-class math at gpmdm.py:1032-1068).
+    if cfg.dyn_back_step == 1:
+        xin = state.x
+    else:
+        xin = jnp.concatenate([state.x, state.x_prev], axis=1)
+    means, variances = core.predict_x_all_classes(post, params, xin, cfg)  # (C, P, d)
+    mean = _select_by_class(means, c)
+    var = jnp.maximum(_select_by_class(variances, c), 1e-12)
+    eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)
+    prop = mean + jnp.sqrt(var) * eps
+    # 'full' uses the sampled prediction as the next state (what the
+    # reference hard-codes); 'delta' adds it to the current state.
+    x_new = state.x + prop if cfg.dyn_target == "delta" else prop
+
+    # 3. Observation weighting (reference gpmdm_pf.py:170-204).
+    mean_y, var_y = core.predict_y(post, params, x_new, cfg)  # (P, D)
+    var_y = jnp.maximum(var_y, 1e-12)
+    log_lik = observation_log_lik(z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet)
+    if pf_cfg.accumulate_weights:
+        log_w = log_lik + state.log_w
+    else:
+        log_w = log_lik
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+
+    # Readouts BEFORE resampling (reference computes them from the
+    # post-update, pre-resample weights).
+    w = jnp.exp(log_w)
+    # class posterior: sum over particles of exp(log_lik + log_w), per class
+    # (reference class_probabilities, gpmdm_pf.py:224-248).
+    lw = log_lik + log_w
+    lw = lw - jnp.max(lw)
+    onehot = jax.nn.one_hot(c, log_T.shape[0], dtype=w.dtype)  # (P, C)
+    class_scores = jnp.matmul(jnp.exp(lw)[None, :], onehot, precision=_PREC)[0]
+    class_probs = class_scores / jnp.sum(class_scores)
+    # weighted observation log-likelihood, up to the max-shift scale exactly
+    # like the reference (_weighted_sum_from_log_space, gpmdm_pf.py:302-312,
+    # which never adds the subtracted max back).
+    log_likelihood = jnp.log(jnp.sum(jnp.exp(lw)))
+    state_mean = jnp.sum(x_new * w[:, None], axis=0)
+    outputs = PFOutputs(
+        class_probs=class_probs,
+        log_likelihood=log_likelihood,
+        state_mean=state_mean,
+        most_likely_class=jnp.argmax(class_probs).astype(jnp.int32),
+    )
+
+    # 4. Resampling (reference gpmdm_pf.py:206-213).
+    if pf_cfg.resampling == "systematic":
+        idx = systematic_resample_indices(k_res, log_w)
+    else:
+        idx = multinomial_resample_indices(k_res, log_w)
+    new_state = PFState(
+        x=x_new[idx],
+        x_prev=state.x[idx],
+        c=c[idx],
+        log_w=jnp.full((P,), -jnp.log(float(P)), dtype=log_w.dtype),
+        log_lik=log_lik,
+        key=key,
+    )
+    return new_state, outputs
+
+
+def pf_scan(
+    state: PFState,
+    Z: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """Stream a whole (T, D) observation sequence through the filter as one
+    ``lax.scan`` — the compiled replacement for the reference's per-frame
+    Python loop (test_gpmdm_pf.ipynb cell 4)."""
+
+    def step(s, z):
+        return pf_step(s, z, post, params, log_T, cfg, pf_cfg)
+
+    return jax.lax.scan(step, state, Z)
+
+
+def pf_scan_bank(
+    states: PFState,
+    Z: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """Run B independent filters at once: ``states`` has a leading bank axis
+    on every leaf and Z is (B, T, D).  Model state is shared (broadcast)."""
+    return jax.vmap(
+        lambda s, z: pf_scan(s, z, post, params, log_T, cfg, pf_cfg)
+    )(states, Z)
+
+
+def pf_init_bank(
+    post: core.Posterior,
+    y_class_offsets: np.ndarray,
+    key: jax.Array,
+    pf_cfg: PFConfig,
+    n_banks: int,
+) -> PFState:
+    """Initialize a bank of B independent filters (leading bank axis)."""
+    keys = jax.random.split(key, n_banks)
+    return jax.vmap(lambda k: pf_init(post, y_class_offsets, k, pf_cfg))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrapper (reference-API parity)
+# ---------------------------------------------------------------------------
+
+
+class GPMDM_PF:
+    """Stateful wrapper mirroring the reference ``GPMDM_PF`` API
+    (gpmdm_pf.py:7): construct from a trained GPMDM + Markov transition
+    matrix + particle count; call ``update(z)`` per frame; read
+    ``class_probabilities()`` / ``get_most_likely_class()`` /
+    ``log_likelihood()`` / ``current_state_mean()``; ``reset()`` to restart.
+
+    Additionally exposes ``run(Z)`` to stream a whole sequence in one
+    compiled scan (orders of magnitude faster than per-frame updates).
+    """
+
+    def __init__(
+        self,
+        gpmdm,
+        markov_switching_model,
+        num_particles: int,
+        config: Optional[PFConfig] = None,
+        seed: int = 0,
+    ):
+        self._gpmdm = gpmdm
+        gpmdm._require_posterior()
+        T = np.asarray(markov_switching_model, dtype=np.float64)
+        if T.shape != (gpmdm.n_classes, gpmdm.n_classes):
+            raise ValueError(
+                "Number of classes in the GPMDM model and the Markov model do not match"
+            )
+        self._log_T = jnp.log(jnp.asarray(T, dtype=gpmdm.dtype))
+        self.pf_config = (config or PFConfig()).__class__(
+            **{
+                **dataclasses.asdict(config or PFConfig()),
+                "num_particles": num_particles,
+            }
+        )
+        self._seed = seed
+        self._last_outputs: Optional[PFOutputs] = None
+
+        cfg = gpmdm.config
+        pf_cfg = self.pf_config
+
+        @jax.jit
+        def _step(state, z, post, params):
+            return pf_step(state, z, post, params, self._log_T, cfg, pf_cfg)
+
+        @jax.jit
+        def _scan(state, Z, post, params):
+            return pf_scan(state, Z, post, params, self._log_T, cfg, pf_cfg)
+
+        self._jit_step = _step
+        self._jit_scan = _scan
+        self.reset()
+
+    # ------------------------------------------------------------------ api
+
+    def reset(self) -> None:
+        """Re-initialize particles (reference reset, gpmdm_pf.py:264)."""
+        self.state = pf_init(
+            self._gpmdm.posterior,
+            self._gpmdm.layout.y_class_offsets,
+            jax.random.PRNGKey(self._seed),
+            self.pf_config,
+        )
+        self._last_outputs = None
+
+    def update(self, z) -> PFOutputs:
+        """One per-frame update (reference update, gpmdm_pf.py:117-135)."""
+        z = jnp.asarray(z, dtype=self._gpmdm.dtype).reshape(-1)
+        self.state, out = self._jit_step(
+            self.state, z, self._gpmdm.posterior, self._gpmdm.params
+        )
+        self._last_outputs = out
+        return out
+
+    def run(self, Z) -> PFOutputs:
+        """Stream a whole (T, D) sequence in one compiled scan; returns
+        stacked per-frame outputs."""
+        Z = jnp.asarray(Z, dtype=self._gpmdm.dtype)
+        self.state, outs = self._jit_scan(
+            self.state, Z, self._gpmdm.posterior, self._gpmdm.params
+        )
+        self._last_outputs = jax.tree.map(lambda a: a[-1], outs)
+        return outs
+
+    def class_probabilities(self) -> np.ndarray:
+        """Posterior class probabilities at the current frame (reference
+        gpmdm_pf.py:224-248)."""
+        self._require_update()
+        return np.asarray(self._last_outputs.class_probs)
+
+    def get_most_likely_class(self) -> int:
+        self._require_update()
+        return int(self._last_outputs.most_likely_class)
+
+    def log_likelihood(self) -> float:
+        """Weighted observation log-likelihood, correct up to scale exactly
+        like the reference (gpmdm_pf.py:215-222)."""
+        self._require_update()
+        return float(self._last_outputs.log_likelihood)
+
+    def current_state_mean(self) -> np.ndarray:
+        self._require_update()
+        return np.asarray(self._last_outputs.state_mean)
+
+    def _require_update(self):
+        if self._last_outputs is None:
+            raise RuntimeError("no observation processed yet; call update() or run()")
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def latent_dim(self) -> int:
+        return self._gpmdm.d
+
+    @property
+    def observation_dim(self) -> int:
+        return self._gpmdm.D
+
+    @property
+    def num_classes(self) -> int:
+        return self._gpmdm.n_classes
+
+    @property
+    def num_particles(self) -> int:
+        return self.pf_config.num_particles
+
+    @property
+    def dtype(self):
+        return self._gpmdm.dtype

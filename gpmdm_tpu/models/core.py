@@ -1,0 +1,478 @@
+"""Pure-functional GPMDM core: parameters, loss, posterior precompute, prediction.
+
+TPU-native re-design of the reference model (`/root/reference/gpmdm/gpmdm.py`):
+
+- Parameters are a pytree (:class:`GPMDMParams`) of log-space hyperparameters
+  plus the latent matrix X, exactly mirroring the reference's trainables
+  (gpmdm.py:201-230, :773).
+- The MAP loss (:func:`nll`) reproduces L_y + balance * L_x
+  (gpmdm.py:550-628, :721-760) but factors the class-block-masked dynamics
+  Gram as independent dense per-class blocks instead of Cholesky-factoring a
+  masked Nx x Nx matrix.  Because the mask zeroes all cross-class entries and
+  the layout is class-major (layout.py), ``K_x * M`` is exactly block
+  diagonal, so this is mathematically identical while being better
+  conditioned (no zero off-diagonal blocks feeding the factorization) and
+  cheaper (O(sum n_c^3) vs O(Nx^3)).
+- GP posterior precomputation (:func:`precompute`) mirrors
+  ``_precompute_kernel_inverses`` (gpmdm.py:1284-1305) with per-class
+  quantities stored zero-padded and stacked on a leading class axis so that
+  downstream consumers (the particle filter) can evaluate *all* classes for
+  *all* query points in single batched einsums — the TPU-native replacement
+  for the reference's per-class Python gather loop (gpmdm_pf.py:158).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GPMDMConfig
+from ..ops import kernels as K
+from ..ops import linalg as LA
+from ..ops.layout import DataLayout, xin_xout
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GPMDMParams:
+    """Trainable state. All hyperparameters live in log space (reference
+    gpmdm.py:201-230); X is the (Ny, d) latent matrix (gpmdm.py:773)."""
+
+    y_log_lengthscales: jax.Array  # (d,)
+    y_log_lambdas: jax.Array  # (D,)
+    y_log_sigma_n: jax.Array  # ()
+    x_log_lengthscales: jax.Array  # (d * back_step,)
+    x_log_lambdas: jax.Array  # (d,)
+    x_log_sigma_n: jax.Array  # ()
+    x_log_lin_coeff: jax.Array  # (d * back_step + 1,)
+    X: jax.Array  # (Ny, d)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Posterior:
+    """Precomputed exact-GP posterior state (reference gpmdm.py:1284-1305).
+
+    Per-class arrays are zero-padded to ``n_max`` rows and stacked on a
+    leading class axis C.
+    """
+
+    X: jax.Array  # (Ny, d) latent matrix snapshot
+    Y: jax.Array  # (Ny, D) observation matrix
+    Ky_inv: jax.Array  # (Ny, Ny)
+    Ay: jax.Array  # (Ny, D) = Ky_inv @ Y  (observation predictive weights)
+    Xin: jax.Array  # (Nx, din) dynamics inputs
+    Xout: jax.Array  # (Nx, d) dynamics outputs
+    Kx_inv: jax.Array  # (Nx, Nx) block-diagonal inverse of K_x * M
+    Ax: jax.Array  # (Nx, d) = Kx_inv @ Xout
+    Xin_c: jax.Array  # (C, n_max, din) per-class dynamics inputs, zero-padded
+    mask_c: jax.Array  # (C, n_max) 1.0 valid / 0.0 pad
+    Kxc_inv: jax.Array  # (C, n_max, n_max) per-class (K_c + jitter I)^-1, zero-padded
+    Axc: jax.Array  # (C, n_max, d) = Kxc_inv @ Xout_c, zero-padded
+
+
+def init_params(
+    cfg: GPMDMConfig,
+    y_lengthscales_init,
+    y_lambdas_init,
+    y_sigma_n_init,
+    x_lengthscales_init,
+    x_lambdas_init,
+    x_sigma_n_init,
+    x_lin_coeff_init,
+    X0=None,
+) -> GPMDMParams:
+    """Build params from *linear-space* initial hyperparameters (the reference
+    ctor takes linear values and stores logs, gpmdm.py:201-230)."""
+    dt = jnp.dtype(cfg.dtype)
+
+    def log_of(v, shape):
+        arr = jnp.broadcast_to(jnp.asarray(v, dtype=dt), shape)
+        return jnp.log(arr)
+
+    d, D, bs = cfg.d, cfg.D, cfg.dyn_back_step
+    if X0 is None:
+        X0 = jnp.zeros((0, d), dtype=dt)
+    return GPMDMParams(
+        y_log_lengthscales=log_of(y_lengthscales_init, (d,)),
+        y_log_lambdas=log_of(y_lambdas_init, (D,)),
+        y_log_sigma_n=log_of(y_sigma_n_init, ()),
+        x_log_lengthscales=log_of(x_lengthscales_init, (d * bs,)),
+        x_log_lambdas=log_of(x_lambdas_init, (d,)),
+        x_log_sigma_n=log_of(x_sigma_n_init, ()),
+        x_log_lin_coeff=log_of(x_lin_coeff_init, (d * bs + 1,)),
+        X=jnp.asarray(X0, dtype=dt),
+    )
+
+
+def pca_init_x(Y: np.ndarray, d: int) -> np.ndarray:
+    """PCA latent initialization matching sklearn's ``PCA.fit_transform``
+    (reference init_X, gpmdm.py:762-768): center, SVD, deterministic sign flip
+    (per component, the max-|u| element of U is made positive), project."""
+    Y = np.asarray(Y, dtype=np.float64)
+    Yc = Y - Y.mean(axis=0, keepdims=True)
+    U, S, Vt = np.linalg.svd(Yc, full_matrices=False)
+    # sklearn svd_flip(u_based_decision=True)
+    max_rows = np.argmax(np.abs(U), axis=0)
+    signs = np.sign(U[max_rows, np.arange(U.shape[1])])
+    signs[signs == 0] = 1.0
+    U = U * signs
+    return (U[:, :d] * S[:d]).astype(Y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def y_neg_log_likelihood(params: GPMDMParams, Y: jax.Array, cfg: GPMDMConfig) -> jax.Array:
+    """Observation-map NLL L_y (reference gpmdm.py:550-589):
+
+    ``L_y = D/2 log|K_y| + 1/2 trace(K_y^-1 Y W^2 Y^T) - N log|W^2|``
+    with W = diag(exp(y_log_lambdas)).
+    """
+    N = Y.shape[0]
+    Ky = K.y_kernel(
+        params.X,
+        params.X,
+        params.y_log_lengthscales,
+        params.y_log_sigma_n,
+        cfg.sigma_n_num_Y,
+        with_noise=True,
+    )
+    L = LA.chol_lower(Ky)
+    logdet = LA.chol_logdet(L)
+    w2 = jnp.exp(params.y_log_lambdas) ** 2
+    trace_term = LA.quad_trace(L, Y, w2)
+    log_det_W = 2.0 * jnp.sum(params.y_log_lambdas)
+    return cfg.D / 2.0 * logdet + 0.5 * trace_term - N * log_det_W
+
+
+def x_neg_log_likelihood(
+    params: GPMDMParams, cfg: GPMDMConfig, layout: DataLayout
+) -> jax.Array:
+    """Dynamics-map NLL L_x (reference gpmdm.py:591-628) via per-class blocks.
+
+    ``L_x = d/2 log|K_x * M| + 1/2 trace((K_x * M)^-1 Xout W^2 Xout^T)
+            - Nx log|W^2|``
+
+    ``K_x * M`` is block diagonal in the class-major layout, so both the
+    log-determinant and the trace decompose over dense class blocks.
+    """
+    Xin, Xout = xin_xout(params.X, layout, cfg.dyn_target)
+    w2 = jnp.exp(params.x_log_lambdas) ** 2
+    total_logdet = 0.0
+    total_trace = 0.0
+    for c in range(layout.n_classes):  # static unroll; C is small
+        lo, hi = int(layout.x_class_offsets[c]), int(layout.x_class_offsets[c + 1])
+        Xin_c = Xin[lo:hi]
+        Xout_c = Xout[lo:hi]
+        Kc = K.x_kernel(
+            Xin_c,
+            Xin_c,
+            params.x_log_lengthscales,
+            params.x_log_sigma_n,
+            params.x_log_lin_coeff,
+            cfg.sigma_n_num_X,
+            with_noise=True,
+        )
+        Lc = LA.chol_lower(Kc)
+        total_logdet = total_logdet + LA.chol_logdet(Lc)
+        total_trace = total_trace + LA.quad_trace(Lc, Xout_c, w2)
+    log_det_W = 2.0 * jnp.sum(params.x_log_lambdas)
+    return cfg.d / 2.0 * total_logdet + 0.5 * total_trace - layout.Nx * log_det_W
+
+
+def nll(
+    params: GPMDMParams,
+    Y: jax.Array,
+    cfg: GPMDMConfig,
+    layout: DataLayout,
+    balance: float = 1.0,
+) -> jax.Array:
+    """Total MAP loss L = L_y + balance * L_x (reference gpdm_loss,
+    gpmdm.py:721-760).
+
+    Note: the reference's ``balance`` is silently always 1 due to an argument
+    binding bug (its ``train_adam`` passes balance into the unused ``M``
+    parameter, gpmdm.py:866).  With ``cfg.balance_fix=False`` we reproduce
+    that behavior.
+    """
+    b = balance if cfg.balance_fix else 1.0
+    return y_neg_log_likelihood(params, Y, cfg) + b * x_neg_log_likelihood(params, cfg, layout)
+
+
+# ---------------------------------------------------------------------------
+# Posterior precompute + prediction
+# ---------------------------------------------------------------------------
+
+
+def precompute(
+    params: GPMDMParams, Y: jax.Array, cfg: GPMDMConfig, layout: DataLayout
+) -> Posterior:
+    """Precompute GP posterior state (reference _precompute_kernel_inverses,
+    gpmdm.py:1284-1305).
+
+    The reference inverts (i) K_y, (ii) the masked Gram ``K_x * M``, and
+    (iii) per class ``K_x * M_c + 1e-6 I``.  Because masked star-kernels zero
+    every row outside class c (gpmdm.py:1061), predictions only ever touch
+    the dense class sub-block of (iii); we therefore invert
+    ``K_c + jitter I`` per class and zero-pad — identical predictions, far
+    better conditioned than inverting a matrix that is ~1e-6 I off-block.
+    """
+    dt = jnp.dtype(cfg.dtype)
+    X = params.X
+    Ky = K.y_kernel(
+        X, X, params.y_log_lengthscales, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise=True
+    )
+    Ly = LA.chol_lower(Ky)
+    Ky_inv = LA.chol_inverse(Ly)
+    Ay = LA.chol_solve(Ly, Y.astype(dt))
+
+    Xin, Xout = xin_xout(X, layout, cfg.dyn_target)
+
+    C, n_max = layout.n_classes, layout.n_max
+    din = Xin.shape[1]
+    Xin_c = jnp.zeros((C, n_max, din), dtype=dt)
+    Kxc_inv = jnp.zeros((C, n_max, n_max), dtype=dt)
+    Axc = jnp.zeros((C, n_max, cfg.d), dtype=dt)
+    Kx_inv = jnp.zeros((layout.Nx, layout.Nx), dtype=dt)
+    mask_c = jnp.asarray(layout.class_pair_mask, dtype=dt)
+
+    for c in range(C):  # static unroll
+        lo, hi = int(layout.x_class_offsets[c]), int(layout.x_class_offsets[c + 1])
+        n_c = hi - lo
+        Xin_blk = Xin[lo:hi]
+        Kc = K.x_kernel(
+            Xin_blk,
+            Xin_blk,
+            params.x_log_lengthscales,
+            params.x_log_sigma_n,
+            params.x_log_lin_coeff,
+            cfg.sigma_n_num_X,
+            with_noise=True,
+        )
+        # Full (all-class) inverse: block-diagonal inverse of K_x * M, no
+        # extra jitter (reference gpmdm.py:1291-1295).
+        Lc = LA.chol_lower(Kc)
+        Kx_inv = Kx_inv.at[lo:hi, lo:hi].set(LA.chol_inverse(Lc))
+        # Per-class inverse with jitter (reference gpmdm.py:1297-1305).
+        Lcj = LA.chol_lower(Kc, jitter=cfg.class_jitter)
+        inv_c = LA.chol_inverse(Lcj)
+        Xin_c = Xin_c.at[c, :n_c].set(Xin_blk)
+        Kxc_inv = Kxc_inv.at[c, :n_c, :n_c].set(inv_c)
+        Axc = Axc.at[c, :n_c].set(LA.chol_solve(Lcj, Xout[lo:hi]))
+
+    Ax = jnp.matmul(Kx_inv, Xout, precision=_PREC)
+    return Posterior(
+        X=X,
+        Y=Y.astype(dt),
+        Ky_inv=Ky_inv,
+        Ay=Ay,
+        Xin=Xin,
+        Xout=Xout,
+        Kx_inv=Kx_inv,
+        Ax=Ax,
+        Xin_c=Xin_c,
+        mask_c=mask_c,
+        Kxc_inv=Kxc_inv,
+        Axc=Axc,
+    )
+
+
+def predict_y(
+    post: Posterior, params: GPMDMParams, Xstar: jax.Array, cfg: GPMDMConfig, with_noise: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Latent -> observation GP posterior (reference map_x_to_y,
+    gpmdm.py:923-963).
+
+    Returns mean (N*, D) and per-dimension variance (N*, D) where the common
+    variance is scaled by exp(y_log_lambdas)^-2 per output dimension.
+    """
+    Kstar = K.rbf_kernel(post.X, Xstar, params.y_log_lengthscales)  # (Ny, N*)
+    mean = jnp.matmul(Kstar.T, post.Ay, precision=_PREC)  # (N*, D)
+    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=_PREC)  # (Ny, N*)
+    diag_common = K.y_diag_kernel(
+        Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise
+    ) - jnp.sum(Kstar * KiK, axis=0)
+    var = diag_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
+    return mean, var
+
+
+def predict_x(
+    post: Posterior, params: GPMDMParams, Xstar: jax.Array, cfg: GPMDMConfig, with_noise: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """All-class dynamics GP posterior (reference map_x_dynamics,
+    gpmdm.py:993-1030)."""
+    Kstar = K.x_kernel(
+        post.Xin,
+        Xstar,
+        params.x_log_lengthscales,
+        params.x_log_sigma_n,
+        params.x_log_lin_coeff,
+        with_noise=False,
+    )  # (Nx, N*)
+    mean = jnp.matmul(Kstar.T, post.Ax, precision=_PREC)
+    KiK = jnp.matmul(post.Kx_inv, Kstar, precision=_PREC)
+    diag_common = K.x_diag_kernel(
+        Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
+    ) - jnp.sum(Kstar * KiK, axis=0)
+    var = diag_common[:, None] * jnp.exp(params.x_log_lambdas)[None, :] ** -2
+    return mean, var
+
+
+def predict_x_all_classes(
+    post: Posterior, params: GPMDMParams, Xstar: jax.Array, cfg: GPMDMConfig, with_noise: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Per-class dynamics GP posterior for *every* class at once.
+
+    Batched-over-classes version of the reference's
+    ``map_x_dynamics_for_class`` (gpmdm.py:1032-1068): one einsum on the MXU
+    replaces the per-class Python loop, and consumers select the relevant
+    class per query point (the expert-parallel pattern used by the particle
+    filter).
+
+    Returns means (C, N*, d) and variances (C, N*, d).
+    """
+    # Star kernel against every class's padded training inputs: (C, n_max, N*)
+    kst = jax.vmap(
+        lambda Xin_blk: K.x_kernel(
+            Xin_blk,
+            Xstar,
+            params.x_log_lengthscales,
+            params.x_log_sigma_n,
+            params.x_log_lin_coeff,
+            with_noise=False,
+        )
+    )(post.Xin_c)
+    kst = kst * post.mask_c[:, :, None]  # zero padded rows (masked star kernel)
+    mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=_PREC)
+    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=_PREC)
+    diag_star = K.x_diag_kernel(
+        Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
+    )  # (N*,)
+    diag_common = diag_star[None, :] - jnp.sum(kst * KiK, axis=1)  # (C, N*)
+    var = diag_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
+    return mean, var
+
+
+def predict_x_for_class(
+    post: Posterior,
+    params: GPMDMParams,
+    Xstar: jax.Array,
+    class_index: int,
+    cfg: GPMDMConfig,
+    with_noise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-class dynamics posterior (reference map_x_dynamics_for_class,
+    gpmdm.py:1032-1068)."""
+    mean, var = predict_x_all_classes(post, params, Xstar, cfg, with_noise)
+    return mean[class_index], var[class_index]
+
+
+def next_x(
+    mean: jax.Array,
+    var: jax.Array,
+    Xold: jax.Array,
+    cfg: GPMDMConfig,
+    sample: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Turn a dynamics-GP output into the next latent state (reference
+    get_next_x, gpmdm.py:1103-1145): 'full' returns the prediction, 'delta'
+    adds it to the current state; optionally sample from the Gaussian."""
+    if sample:
+        out = mean + jnp.sqrt(var) * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    else:
+        out = mean
+    if cfg.dyn_target == "delta":
+        out = Xold + out
+    return out
+
+
+def rollout(
+    post: Posterior,
+    params: GPMDMParams,
+    x0: jax.Array,
+    n_steps: int,
+    class_index: int,
+    cfg: GPMDMConfig,
+    sample: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Autoregressive latent rollout under one class's dynamics
+    (library-level version of the reference notebook loop,
+    train_gpmdm.ipynb cell 8), as a single ``lax.scan``.
+
+    x0: (d,) (back_step=1) or (2, d) [x(t), x(t-1)] (back_step=2).
+    Returns the (n_steps, d) trajectory of x(t+1..t+n_steps).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    if cfg.dyn_back_step == 1:
+        def step(carry, k):
+            x = carry  # (d,)
+            mean, var = predict_x_for_class(post, params, x[None, :], class_index, cfg)
+            xn = next_x(mean[0], var[0], x, cfg, sample, k)
+            return xn, xn
+
+        _, traj = jax.lax.scan(step, x0, jax.random.split(key, n_steps))
+    else:
+        def step(carry, k):
+            x_t, x_tm1 = carry  # each (d,)
+            xin = jnp.concatenate([x_t, x_tm1])[None, :]
+            mean, var = predict_x_for_class(post, params, xin, class_index, cfg)
+            xn = next_x(mean[0], var[0], x_t, cfg, sample, k)
+            return (xn, x_t), xn
+
+        _, traj = jax.lax.scan(step, (x0[0], x0[1]), jax.random.split(key, n_steps))
+    return traj
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+
+
+def latent_map_nmse(
+    post: Posterior,
+    params: GPMDMParams,
+    cfg: GPMDMConfig,
+    Xstar: jax.Array,
+    Y_true: jax.Array,
+    with_noise: bool = False,
+    floored: bool = False,
+) -> jax.Array:
+    """Mean squared z-score of the latent->observation map (reference
+    get_latent_map_performance, gpmdm.py:1199-1273).  The reference uses
+    floor division ``//`` (a quirk, gpmdm.py:1235); ``floored=True``
+    reproduces it, default is true division."""
+    mean, var = predict_y(post, params, Xstar, cfg, with_noise)
+    z2 = (Y_true - mean) ** 2 / var
+    if floored:
+        z2 = jnp.floor(z2)
+    return jnp.mean(z2)
+
+
+def dynamics_map_nmse_for_class(
+    post: Posterior,
+    params: GPMDMParams,
+    cfg: GPMDMConfig,
+    class_index: int,
+    with_noise: bool = False,
+    floored: bool = False,
+) -> jax.Array:
+    """Mean squared z-score of the per-class dynamics map on training pairs
+    (reference get_dynamics_map_performance_for_class, gpmdm.py:1147-1196)."""
+    mean, var = predict_x_for_class(post, params, post.Xin, class_index, cfg, with_noise)
+    z2 = (post.Xout - mean) ** 2 / var
+    if floored:
+        z2 = jnp.floor(z2)
+    return jnp.mean(z2)

@@ -1,0 +1,192 @@
+"""Model persistence.
+
+Replaces the reference's single-pickle checkpoint (`/root/reference/gpmdm/
+gpmdm.py:1307-1414`, ``torch.save``/``torch.load``) with a self-contained,
+non-pickle ``.npz`` checkpoint holding:
+
+- the static config (JSON),
+- all trained parameters (log-space hyperparameters + latent X),
+- the raw observation sequences (so a loaded model can rebuild Xin/Xout and
+  Gram matrices, exactly as the reference checkpoint does),
+- optionally the Adam optimizer moments (the reference does NOT save these,
+  so it cannot resume mid-training; we can).
+
+Unlike the reference's ``load`` — which re-runs PCA just to create the X
+parameter before overwriting it (gpmdm.py:1399-1402) — loading here restores
+X directly.
+
+A reader for the reference's torch ``.pth`` layout is provided for
+cross-validation against reference-trained models (torch is imported lazily
+and only needed there).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GPMDMConfig
+
+_PARAM_FIELDS = (
+    "y_log_lengthscales",
+    "y_log_lambdas",
+    "y_log_sigma_n",
+    "x_log_lengthscales",
+    "x_log_lambdas",
+    "x_log_sigma_n",
+    "x_log_lin_coeff",
+    "X",
+)
+
+FORMAT_VERSION = 1
+
+
+def save_model(model, file_path) -> None:
+    file_path = Path(file_path)
+    arrays = {}
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config": model.config.to_dict(),
+        "n_sequences_per_class": [
+            len(seqs) for seqs in model.class_aware_observations_list
+        ],
+        "initialized": model.params is not None,
+        "has_opt_state": model._opt_state is not None,
+        "init_hypers": {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in model._init_hypers.items()
+        },
+    }
+    for c, seqs in enumerate(model.class_aware_observations_list):
+        for i, s in enumerate(seqs):
+            arrays[f"obs_{c}_{i}"] = np.asarray(s)
+    if model.params is not None:
+        for f in _PARAM_FIELDS:
+            arrays[f"param_{f}"] = np.asarray(getattr(model.params, f))
+    if model._opt_state is not None:
+        import jax
+
+        leaves = jax.tree.leaves(model._opt_state)
+        meta["n_opt_leaves"] = len(leaves)
+        for i, leaf in enumerate(leaves):
+            arrays[f"opt_{i}"] = np.asarray(leaf)
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    file_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(file_path, **arrays)
+
+
+def load_model(cls, file_path):
+    file_path = Path(file_path)
+    with np.load(file_path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode("utf-8"))
+        cfg = GPMDMConfig.from_dict(meta["config"])
+        ih = meta["init_hypers"]
+        model = cls(
+            D=cfg.D,
+            d=cfg.d,
+            n_classes=cfg.n_classes,
+            dyn_target=cfg.dyn_target,
+            dyn_back_step=cfg.dyn_back_step,
+            y_lambdas_init=ih["y_lambdas_init"],
+            y_lengthscales_init=ih["y_lengthscales_init"],
+            y_sigma_n_init=ih["y_sigma_n_init"],
+            x_lambdas_init=ih["x_lambdas_init"],
+            x_lengthscales_init=ih["x_lengthscales_init"],
+            x_sigma_n_init=ih["x_sigma_n_init"],
+            x_lin_coeff_init=ih["x_lin_coeff_init"],
+            flg_train_y_lambdas=cfg.flg_train_y_lambdas,
+            flg_train_y_lengthscales=cfg.flg_train_y_lengthscales,
+            flg_train_y_sigma_n=cfg.flg_train_y_sigma_n,
+            flg_train_x_lambdas=cfg.flg_train_x_lambdas,
+            flg_train_x_lengthscales=cfg.flg_train_x_lengthscales,
+            flg_train_x_sigma_n=cfg.flg_train_x_sigma_n,
+            flg_train_x_lin_coeff=cfg.flg_train_x_lin_coeff,
+            sigma_n_num_Y=cfg.sigma_n_num_Y,
+            sigma_n_num_X=cfg.sigma_n_num_X,
+            dtype=cfg.dtype,
+            balance_fix=cfg.balance_fix,
+        )
+        for c, n_seq in enumerate(meta["n_sequences_per_class"]):
+            for i in range(n_seq):
+                model.add_data(data[f"obs_{c}_{i}"], c)
+        if meta["initialized"]:
+            from ..models import core
+
+            model.layout = model._build_layout()
+            dt = jnp.dtype(cfg.dtype)
+            model.params = core.GPMDMParams(
+                **{f: jnp.asarray(data[f"param_{f}"], dtype=dt) for f in _PARAM_FIELDS}
+            )
+            if meta.get("has_opt_state"):
+                import jax
+                import optax
+
+                # Rebuild the adam state treedef from a fresh init, then
+                # overwrite the leaves with the saved moments.
+                template = optax.adam(1e-3).init(model.params)
+                treedef = jax.tree.structure(template)
+                leaves = [
+                    jnp.asarray(data[f"opt_{i}"]) for i in range(meta["n_opt_leaves"])
+                ]
+                model._opt_state = jax.tree.unflatten(treedef, leaves)
+            model._precompute_kernel_inverses()
+    return model
+
+
+def load_torch_model(cls, file_path):
+    """Import a reference-format torch checkpoint (gpmdm.py:1307-1346).
+
+    The file is a torch pickle holding ``{'state_dict', 'config_dict'}``
+    where config_dict carries the raw observation sequences and exp'd initial
+    hyperparameters.
+    """
+    import torch
+
+    save_dict = torch.load(file_path, map_location="cpu", weights_only=False)
+    config_dict = save_dict["config_dict"]
+    state_dict = save_dict["state_dict"]
+
+    torch_dtype = str(config_dict.get("dtype", "torch.float64"))
+    dtype = {"torch.float64": "float64", "torch.float32": "float32"}.get(
+        torch_dtype, "float32"
+    )
+
+    model = cls(
+        D=config_dict["D"],
+        d=config_dict["d"],
+        n_classes=config_dict["n_classes"],
+        dyn_target=config_dict["dyn_target"],
+        dyn_back_step=config_dict["dyn_back_step"],
+        y_lambdas_init=np.asarray(config_dict["y_lambdas_init"]),
+        y_lengthscales_init=np.asarray(config_dict["y_lengthscales_init"]),
+        y_sigma_n_init=config_dict["y_sigma_n_init"],
+        x_lambdas_init=np.asarray(config_dict["x_lambdas_init"]),
+        x_lengthscales_init=np.asarray(config_dict["x_lengthscales_init"]),
+        x_sigma_n_init=config_dict["x_sigma_n_init"],
+        x_lin_coeff_init=np.asarray(config_dict["x_lin_coeff_init"]),
+        sigma_n_num_Y=config_dict.get("sigma_n_num_Y", 0.0),
+        sigma_n_num_X=config_dict.get("sigma_n_num_X", 0.0),
+        dtype=dtype,
+    )
+
+    def to_np(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    for c, seqs in enumerate(config_dict["class_aware_observations_list"]):
+        for s in seqs:
+            model.add_data(to_np(s), c)
+
+    from ..models import core
+
+    model.layout = model._build_layout()
+    dt = jnp.dtype(dtype)
+    model.params = core.GPMDMParams(
+        **{f: jnp.asarray(to_np(state_dict[f]), dtype=dt) for f in _PARAM_FIELDS}
+    )
+    model._precompute_kernel_inverses()
+    return model

@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX fake-multi-device
+mechanism) so sharding/pjit paths are exercised without TPU hardware, and
+with x64 enabled so float64 oracle comparisons against the reference math are
+meaningful.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: most test time is XLA compiles; reuse them
+# across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
