@@ -1,0 +1,180 @@
+"""Command-line entry points: ``python -m gpmdm_tpu <command>``.
+
+Scripted replacements for the reference's notebook entry points
+(`/root/reference/notebooks/`: train_gpmdm, test_gpmdm_pf, view_gpmdm_pf)
+plus the viewer CLI (`/root/reference/amc_parser/__main__.py`).
+
+Commands
+--------
+view <asf> <amc>      interactive skeleton animation
+train [...]           train a GPMDM (CMU walk/run if data available, else
+                      synthetic limit cycles) and save a checkpoint
+eval <ckpt> [...]     stream test trials through the particle filter and
+                      print confusion matrices / F1 / fps
+rollout <ckpt> [...]  autoregressive latent rollout demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _cmd_view(args) -> int:
+    from .data.amc_asf import parse_amc, parse_asf
+    from .viz.viewer import Viewer
+
+    skel = parse_asf(args.asf)
+    motion = parse_amc(args.amc, skel)
+    Viewer(skel, motion, fps=args.fps).run()
+    return 0
+
+
+def _load_dataset(args):
+    """CMU walk/run (reference experiment config: 35 DOFs, 120->30 fps) when
+    the mocap dir exists, else the synthetic limit-cycle stand-in."""
+    from .data import registry, synthetic
+    from .data.joints import WALKING_SIMPLIFIED_JOINTS
+
+    if registry.available(args.mocap_dir):
+        def arrays(trials):
+            out = []
+            for mc in trials:
+                arr = mc.select_joints(WALKING_SIMPLIFIED_JOINTS)
+                out.append(arr[:: args.downsample])
+            return out
+
+        walk_tr = registry.load_trials(registry.WALK_TRIAL_IDS_TRAIN, args.mocap_dir)
+        run_tr = registry.load_trials(registry.RUN_TRIAL_IDS_TRAIN, args.mocap_dir)
+        walk_te = registry.load_trials(registry.WALK_TRIAL_IDS_TEST, args.mocap_dir)
+        run_te = registry.load_trials(registry.RUN_TRIAL_IDS_TEST, args.mocap_dir)
+        train = [(a, 0) for a in arrays(walk_tr)] + [(a, 1) for a in arrays(run_tr)]
+        test = [(a, 0) for a in arrays(walk_te)] + [(a, 1) for a in arrays(run_te)]
+        D = train[0][0].shape[1]
+        print(f"CMU walk/run: {len(train)} train / {len(test)} test trials, D={D}")
+        return train, test, D
+    print("mocap data not found; using synthetic limit cycles")
+    tr_s, tr_l, te_s, te_l = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=4, n_test_seqs=6, seq_len=80, D=12, seed=0
+    )
+    return list(zip(tr_s, tr_l)), list(zip(te_s, te_l)), 12
+
+
+def _cmd_train(args) -> int:
+    from . import GPMDM
+
+    train, _, D = _load_dataset(args)
+    model = GPMDM(
+        D=D,
+        d=args.latent_dim,
+        n_classes=2,
+        dyn_target=args.dyn_target,
+        dyn_back_step=args.back_step,
+        y_sigma_n_init=1e-2,
+        x_sigma_n_init=1e-2,
+        dtype=args.dtype,
+    )
+    for Y, c in train:
+        model.add_data(np.asarray(Y), c)
+    model.init_X()
+    losses = model.train_adam(
+        num_opt_steps=args.steps, num_print_steps=max(1, args.steps // 10), lr=args.lr
+    )
+    print(f"final loss {losses[-1]:.4e}")
+    model.save(args.out)
+    print(f"saved {args.out}")
+    return 0
+
+
+def _cmd_eval(args) -> int:
+    from . import GPMDM, GPMDM_PF, PFConfig
+    from .utils.metrics import evaluate_pf
+
+    model = GPMDM.load(args.ckpt)
+    _, test, _ = _load_dataset(args)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(
+        model,
+        T,
+        num_particles=args.particles,
+        config=PFConfig(resampling=args.resampling),
+        seed=args.seed,
+    )
+    report = evaluate_pf(
+        flt,
+        [np.asarray(Z) for Z, _ in test],
+        [c for _, c in test],
+        n_classes=2,
+        burn_in=args.burn_in,
+    )
+    print(report.summary())
+    return 0
+
+
+def _cmd_rollout(args) -> int:
+    from . import GPMDM
+
+    model = GPMDM.load(args.ckpt)
+    x0 = np.asarray(model.get_X_for_class(args.cls))[0]
+    if model.dyn_back_step == 2:
+        x0 = np.stack([x0, x0])
+    traj = np.asarray(model.rollout(x0, args.steps, args.cls))
+    print(traj)
+    if args.plot:
+        import matplotlib.pyplot as plt
+
+        from .viz.latent import plot_pf_trajectory
+
+        plot_pf_trajectory(model, traj, show=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gpmdm_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pv = sub.add_parser("view", help="interactive skeleton viewer")
+    pv.add_argument("asf")
+    pv.add_argument("amc")
+    pv.add_argument("--fps", type=int, default=120)
+    pv.set_defaults(fn=_cmd_view)
+
+    def add_data_args(sp):
+        sp.add_argument("--mocap-dir", default=None)
+        sp.add_argument("--downsample", type=int, default=4)
+
+    pt = sub.add_parser("train", help="train a GPMDM and save a checkpoint")
+    add_data_args(pt)
+    pt.add_argument("--out", default="gpmdm.npz")
+    pt.add_argument("--latent-dim", type=int, default=4)
+    pt.add_argument("--dyn-target", default="full", choices=["full", "delta"])
+    pt.add_argument("--back-step", type=int, default=1, choices=[1, 2])
+    pt.add_argument("--steps", type=int, default=500)
+    pt.add_argument("--lr", type=float, default=0.01)
+    pt.add_argument("--dtype", default="float32")
+    pt.set_defaults(fn=_cmd_train)
+
+    pe = sub.add_parser("eval", help="evaluate the particle filter on test trials")
+    add_data_args(pe)
+    pe.add_argument("ckpt")
+    pe.add_argument("--particles", type=int, default=100)
+    pe.add_argument("--resampling", default="systematic", choices=["systematic", "multinomial"])
+    pe.add_argument("--burn-in", type=int, default=0)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.set_defaults(fn=_cmd_eval)
+
+    pr = sub.add_parser("rollout", help="autoregressive latent rollout")
+    pr.add_argument("ckpt")
+    pr.add_argument("--cls", type=int, default=0)
+    pr.add_argument("--steps", type=int, default=100)
+    pr.add_argument("--plot", action="store_true")
+    pr.set_defaults(fn=_cmd_rollout)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,6 +18,7 @@ overhead), with
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import Callable
@@ -57,6 +58,25 @@ def trainable_mask(cfg: GPMDMConfig, mode: str = "all") -> core.GPMDMParams:
         x_log_lin_coeff=jnp.asarray(m(x_on and cfg.flg_train_x_lin_coeff)),
         X=jnp.asarray(1.0),
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _get_run_chunk(cfg: GPMDMConfig, layout: DataLayout, lr: float, balance: float, mode: str):
+    """Build (optimizer, jitted chunk runner) once per (config, layout,
+    hyperparameter) combination — a fresh jax.jit per train_adam call would
+    recompile the whole scan every time."""
+    optimizer = optax.adam(lr)
+    mask = trainable_mask(cfg, mode)
+    step = make_update_step(cfg, layout, optimizer, balance, mask)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(params, opt_state, Y, n):
+        (params, opt_state, _), losses = jax.lax.scan(
+            step, (params, opt_state, Y), None, length=n
+        )
+        return params, opt_state, losses
+
+    return optimizer, run_chunk
 
 
 @dataclasses.dataclass
@@ -116,21 +136,14 @@ def train_adam(
     NaN early exit stay on the host while the hot path stays compiled.
     Returns updated params, optimizer state, and the per-step loss history.
     """
-    optimizer = optax.adam(train_cfg.lr)
+    optimizer, run_chunk = _get_run_chunk(
+        cfg, layout, train_cfg.lr, train_cfg.balance, mode
+    )
     if opt_state is None:
         opt_state = optimizer.init(params)
-    mask = trainable_mask(cfg, mode)
-    step = make_update_step(cfg, layout, optimizer, train_cfg.balance, mask)
 
     chunk = train_cfg.print_every if train_cfg.print_every > 0 else train_cfg.num_steps
     chunk = max(1, min(chunk, train_cfg.num_steps))
-
-    @partial(jax.jit, static_argnames=("n",))
-    def run_chunk(params, opt_state, Y, n):
-        (params, opt_state, _), losses = jax.lax.scan(
-            step, (params, opt_state, Y), None, length=n
-        )
-        return params, opt_state, losses
 
     Y = jnp.asarray(Y, dtype=jnp.dtype(cfg.dtype))
     t0 = time.perf_counter()

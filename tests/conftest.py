@@ -8,7 +8,10 @@ meaningful.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session environment points JAX at a TPU tunnel
+# (JAX_PLATFORMS=axon): unit tests want x64 + 8 virtual devices, which only
+# the host platform provides.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,187 @@
+"""Particle filter: stage correctness, resampling properties, end-to-end
+classification on synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmdm_tpu import GPMDM, GPMDM_PF, PFConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.filter import particle_filter as pf
+from gpmdm_tpu.models import core
+
+
+@pytest.fixture(scope="module")
+def trained_model():
+    train_seqs, train_labels, test_seqs, test_labels = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=3, n_test_seqs=3, seq_len=40, D=10, seed=7
+    )
+    m = GPMDM(D=10, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(train_seqs, train_labels):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=120, lr=0.02)
+    return m, test_seqs, test_labels
+
+
+def test_init_classes_split():
+    assert list(pf._init_classes(10, 2)) == [0] * 5 + [1] * 5
+    assert list(pf._init_classes(7, 3)) == [0, 0, 0, 1, 1, 2, 2]
+
+
+def test_pf_init_samples_from_own_class(trained_model):
+    m, _, _ = trained_model
+    state = pf.pf_init(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), PFConfig(num_particles=50)
+    )
+    X = np.asarray(m.params.X)
+    offs = m.layout.y_class_offsets
+    for p in range(50):
+        c = int(state.c[p])
+        block = X[offs[c] : offs[c + 1]]
+        assert any(np.allclose(np.asarray(state.x[p]), row) for row in block)
+
+
+def test_observation_log_lik_matches_scipy():
+    from scipy.stats import norm
+
+    rng = np.random.default_rng(0)
+    P, D = 5, 4
+    z = rng.normal(size=(D,))
+    mean = rng.normal(size=(P, D))
+    var = rng.uniform(0.5, 2.0, size=(P, D))
+    got = np.asarray(
+        pf.observation_log_lik(
+            jnp.asarray(z), jnp.asarray(mean), jnp.asarray(var), D, False
+        )
+    )
+    want = np.array(
+        [norm.logpdf(z, mean[i], np.sqrt(var[i])).sum() for i in range(P)]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # compat mode double-counts the log-determinant (reference
+    # gpmdm_pf.py:189-191): difference is exactly -0.5*sum(log var)
+    got_compat = np.asarray(
+        pf.observation_log_lik(
+            jnp.asarray(z), jnp.asarray(mean), jnp.asarray(var), D, True
+        )
+    )
+    np.testing.assert_allclose(
+        got_compat, want - 0.5 * np.log(var).sum(axis=1), rtol=1e-10
+    )
+
+
+def test_systematic_resample_is_unbiased():
+    """Expected offspring count of particle i is P * w_i (within 1 for the
+    systematic scheme, exactly)."""
+    key = jax.random.PRNGKey(0)
+    log_w = jnp.log(jnp.asarray([0.5, 0.25, 0.125, 0.125]))
+    counts = np.zeros(4)
+    for s in range(200):
+        idx = np.asarray(pf.systematic_resample_indices(jax.random.fold_in(key, s), log_w))
+        counts += np.bincount(idx, minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.5, 0.25, 0.125, 0.125], atol=0.02)
+    # systematic: per-draw offspring within floor/ceil of expectation
+    idx = np.asarray(pf.systematic_resample_indices(key, log_w))
+    n = np.bincount(idx, minlength=4)
+    for i, w in enumerate([0.5, 0.25, 0.125, 0.125]):
+        assert np.floor(4 * w) <= n[i] <= np.ceil(4 * w)
+
+
+def test_multinomial_resample_distribution():
+    key = jax.random.PRNGKey(1)
+    log_w = jnp.log(jnp.asarray([0.7, 0.2, 0.1]))
+    idx = np.asarray(pf.multinomial_resample_indices(key, jnp.tile(log_w, 1)))
+    assert idx.shape == (3,)
+    big = np.asarray(
+        jax.random.categorical(key, jnp.log(jnp.asarray([0.7, 0.2, 0.1])), shape=(20000,))
+    )
+    freq = np.bincount(big, minlength=3) / 20000
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.02)
+
+
+def test_step_and_scan_agree(trained_model):
+    """One lax.scan over T frames == T sequential pf_step calls."""
+    m, test_seqs, _ = trained_model
+    Z = jnp.asarray(test_seqs[0][:8], dtype=jnp.float64)
+    pfc = PFConfig(num_particles=30)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]]))
+    s0 = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(5), pfc)
+
+    s = s0
+    step_probs = []
+    for t in range(8):
+        s, out = pf.pf_step(s, Z[t], m.posterior, m.params, log_T, m.config, pfc)
+        step_probs.append(np.asarray(out.class_probs))
+
+    _, outs = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
+    np.testing.assert_allclose(np.asarray(outs.class_probs), np.stack(step_probs), rtol=1e-8)
+
+
+def test_bank_matches_single(trained_model):
+    m, test_seqs, _ = trained_model
+    Z = jnp.asarray(test_seqs[0][:6], dtype=jnp.float64)
+    pfc = PFConfig(num_particles=20)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]]))
+    states = pf.pf_init_bank(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(2), pfc, 3)
+    Zb = jnp.stack([Z, Z, Z])
+    _, outs = pf.pf_scan_bank(states, Zb, m.posterior, m.params, log_T, m.config, pfc)
+    assert outs.class_probs.shape == (3, 6, 2)
+    # bank 0 must equal a single run with the same key
+    s0 = jax.tree.map(lambda a: a[0], states)
+    _, single = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
+    np.testing.assert_allclose(
+        np.asarray(outs.class_probs[0]), np.asarray(single.class_probs), rtol=1e-8
+    )
+
+
+def test_end_to_end_classification(trained_model):
+    """The filter must classify held-out synthetic sequences well (the
+    reference achieves >0.9 frame F1 on CMU walk/run; synthetic cycles are
+    easier)."""
+    m, test_seqs, test_labels = trained_model
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(m, T, num_particles=100, seed=0)
+    correct = total = 0
+    for Z, label in zip(test_seqs, test_labels):
+        flt.reset()
+        outs = flt.run(Z)
+        pred = np.asarray(outs.most_likely_class)
+        # skip burn-in frames
+        correct += (pred[5:] == label).sum()
+        total += len(pred) - 5
+    acc = correct / total
+    assert acc > 0.9, f"frame accuracy {acc:.3f}"
+
+
+def test_update_api_matches_run(trained_model):
+    m, test_seqs, _ = trained_model
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(m, T, num_particles=25, seed=3)
+    outs_run = flt.run(test_seqs[0][:5])
+    flt2 = GPMDM_PF(m, T, num_particles=25, seed=3)
+    probs = []
+    for t in range(5):
+        out = flt2.update(test_seqs[0][t])
+        probs.append(np.asarray(out.class_probs))
+    np.testing.assert_allclose(np.asarray(outs_run.class_probs), np.stack(probs), rtol=1e-8)
+    # readout API
+    assert flt2.get_most_likely_class() in (0, 1)
+    assert np.isfinite(flt2.log_likelihood())
+    assert flt2.current_state_mean().shape == (m.d,)
+
+
+def test_reference_compat_flags(trained_model):
+    m, test_seqs, _ = trained_model
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(
+        m,
+        T,
+        num_particles=30,
+        config=PFConfig(resampling="multinomial", compat_double_logdet=True),
+        seed=0,
+    )
+    outs = flt.run(test_seqs[0][:5])
+    assert np.isfinite(np.asarray(outs.class_probs)).all()
