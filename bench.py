@@ -1,0 +1,105 @@
+"""Headline benchmark: particle-filter streaming throughput on one chip.
+
+North-star target (BASELINE.md): a 10,000-particle switching filter at
+>= 1000 fps on a single TPU chip.  The reference runs 100 particles at
+12.78 fps on a laptop CPU (test_gpmdm_pf.ipynb cell 5) — ``vs_baseline``
+reports the speedup over that published number.
+
+Config mirrors the published experiment's shape (D=35 observation dims,
+d=4 latent, 2 classes) with the synthetic stand-in dataset (CMU data is not
+redistributable).  Compile time is excluded (one warm-up scan).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 12.78  # reference published throughput (100 particles, CPU)
+
+N_PARTICLES = 10_000
+N_FRAMES = 200
+D, d, N_CLASSES = 35, 4, 2
+TRAIN_SEQS_PER_CLASS, SEQ_LEN = 4, 60  # Ntrain = 480 frames
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import GPMDM, PFConfig
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.filter import particle_filter as pf
+
+    t_setup = time.perf_counter()
+    train_seqs, train_labels, test_seqs, _ = synthetic.make_dataset(
+        n_classes=N_CLASSES,
+        n_train_seqs=TRAIN_SEQS_PER_CLASS,
+        n_test_seqs=1,
+        seq_len=SEQ_LEN,
+        D=D,
+        seed=0,
+    )
+    m = GPMDM(D=D, d=d, n_classes=N_CLASSES, dtype="float32")
+    for Y, c in zip(train_seqs, train_labels):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=30, lr=0.01)  # light training: realistic posterior
+
+    pfc = PFConfig(num_particles=N_PARTICLES)
+    cfg = m.config
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=m.dtype))
+
+    Z = np.concatenate([np.asarray(s) for s in test_seqs] * 10, axis=0)[:N_FRAMES]
+    Z = jnp.asarray(Z, dtype=m.dtype)
+
+    scan = jax.jit(
+        lambda s, Z, post, params: pf.pf_scan(s, Z, post, params, log_T, cfg, pfc)
+    )
+    state = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc)
+
+    # warm-up (compile)
+    t_compile = time.perf_counter()
+    _, outs = scan(state, Z[:2], m.posterior, m.params)
+    jax.block_until_ready(outs.class_probs)
+    compile_s = time.perf_counter() - t_compile
+    # second shape compile for the full-length scan
+    _, outs = scan(state, Z, m.posterior, m.params)
+    jax.block_until_ready(outs.class_probs)
+
+    # timed runs
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        _, outs = scan(state, Z, m.posterior, m.params)
+        jax.block_until_ready(outs.class_probs)
+    wall = (time.perf_counter() - t0) / reps
+    fps = N_FRAMES / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "pf_throughput_10k_particles",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 2),
+                "particles": N_PARTICLES,
+                "frames": N_FRAMES,
+                "D": D,
+                "d": d,
+                "n_train_frames": int(m.layout.Ny),
+                "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
+                "device": str(jax.devices()[0]),
+                "compile_s": round(compile_s, 2),
+                "setup_s": round(time.perf_counter() - t_setup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

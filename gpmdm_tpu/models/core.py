@@ -189,6 +189,61 @@ def x_neg_log_likelihood(
     return cfg.d / 2.0 * total_logdet + 0.5 * total_trace - layout.Nx * log_det_W
 
 
+def x_nll_padded_blocks(
+    params: GPMDMParams,
+    cfg: GPMDMConfig,
+    idx_in: jax.Array,
+    idx_prev: jax.Array,
+    idx_out: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Per-class dynamics NLL terms from zero-padded class blocks.
+
+    Batched (vmap-over-classes) formulation of
+    :func:`x_neg_log_likelihood`'s per-class loop: every class block is
+    padded to a common ``n_max`` and factorized with one batched Cholesky —
+    a single MXU-friendly kernel, and shardable over the class axis (the
+    expert-parallel training path, see gpmdm_tpu.parallel).
+
+    ``idx_*``: (C, n_max) int32 gathers into the Ny axis (x(t), x(t-1),
+    x(t+1) of each class's dynamics pairs, 0-padded); ``mask``: (C, n_max)
+    1/0 validity.  Padding is exact, not approximate: padded Gram entries
+    are replaced by identity rows/cols (log-det contribution 0) and padded
+    regression targets are zero (trace contribution 0).
+
+    Returns the (C,) vector of ``d/2 log|K_c| + 1/2 trace(K_c^-1 Xout_c
+    W^2 Xout_c^T)``; the caller adds the ``- Nx log|W^2|`` term.
+    """
+    X = params.X
+    x_t = X[idx_in] * mask[:, :, None]  # (C, n_max, d)
+    if cfg.dyn_back_step == 1:
+        Xin_c = x_t
+    else:
+        Xin_c = jnp.concatenate([x_t, X[idx_prev] * mask[:, :, None]], axis=2)
+    Xout_c = X[idx_out] * mask[:, :, None]
+    if cfg.dyn_target == "delta":
+        Xout_c = Xout_c - x_t
+
+    def block_terms(Xin_b, Xout_b, m):
+        Kb = K.x_kernel(
+            Xin_b,
+            Xin_b,
+            params.x_log_lengthscales,
+            params.x_log_sigma_n,
+            params.x_log_lin_coeff,
+            cfg.sigma_n_num_X,
+            with_noise=True,
+        )
+        mm = m[:, None] * m[None, :]
+        Kb = Kb * mm + jnp.diag(1.0 - m)  # identity padding: exact
+        Lb = LA.chol_lower(Kb)
+        w2 = jnp.exp(params.x_log_lambdas) ** 2
+        return LA.chol_logdet(Lb), LA.quad_trace(Lb, Xout_b, w2)
+
+    logdets, traces = jax.vmap(block_terms)(Xin_c, Xout_c, mask)
+    return cfg.d / 2.0 * logdets + 0.5 * traces
+
+
 def nll(
     params: GPMDMParams,
     Y: jax.Array,

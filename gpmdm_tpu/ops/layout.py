@@ -170,6 +170,35 @@ def xin_xout(X: jax.Array, layout: DataLayout, target: str) -> tuple[jax.Array, 
     return Xin, Xout
 
 
+def padded_class_indices(
+    layout: DataLayout, n_class_pad: int | None = None, n_max_pad: int | None = None
+) -> dict:
+    """Zero-padded per-class gather arrays into the Ny axis.
+
+    Returns ``{"idx_in", "idx_prev", "idx_out": (C', n_max'), "mask":
+    (C', n_max')}`` where row c lists class c's dynamics pairs (x(t),
+    x(t-1), x(t+1) indices), padded with 0 and masked.  ``n_class_pad`` /
+    ``n_max_pad`` optionally pad the class / pair axes further (to make them
+    divisible by a mesh axis); padded classes are entirely masked.
+    """
+    C = n_class_pad or layout.n_classes
+    M = n_max_pad or layout.n_max
+    if C < layout.n_classes or M < layout.n_max:
+        raise ValueError("padding must not shrink the class/pair axes")
+    idx_in = np.zeros((C, M), dtype=np.int32)
+    idx_prev = np.zeros((C, M), dtype=np.int32)
+    idx_out = np.zeros((C, M), dtype=np.int32)
+    mask = np.zeros((C, M), dtype=np.float64)
+    for c in range(layout.n_classes):
+        n_c = int(layout.class_x_counts[c])
+        pair = layout.class_pair_idx[c, :n_c]
+        idx_in[c, :n_c] = layout.xin_idx[pair]
+        idx_prev[c, :n_c] = layout.xin_prev_idx[pair]
+        idx_out[c, :n_c] = layout.xout_idx[pair]
+        mask[c, :n_c] = 1.0
+    return {"idx_in": idx_in, "idx_prev": idx_prev, "idx_out": idx_out, "mask": mask}
+
+
 def class_block_mask(layout: DataLayout, dtype=np.float32) -> np.ndarray:
     """Dense Nx x Nx class-block mask M (reference get_M, gpmdm.py:311-340).
 

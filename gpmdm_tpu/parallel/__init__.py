@@ -1,0 +1,26 @@
+"""Distribution layer: device meshes, sharded training, PF-bank sharding."""
+
+from .mesh import make_mesh, make_train_mesh, round_up
+from .pf_bank import pf_scan_bank_sharded, shard_bank_state
+from .sharded import (
+    ShardedTrainContext,
+    make_context,
+    make_sharded_update_step,
+    nll_sharded,
+    pad_Y,
+    train_adam_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_train_mesh",
+    "round_up",
+    "pf_scan_bank_sharded",
+    "shard_bank_state",
+    "ShardedTrainContext",
+    "make_context",
+    "make_sharded_update_step",
+    "nll_sharded",
+    "pad_Y",
+    "train_adam_sharded",
+]

@@ -8,10 +8,12 @@ meaningful.
 
 import os
 
-# Force CPU even when the session environment points JAX at a TPU tunnel
-# (JAX_PLATFORMS=axon): unit tests want x64 + 8 virtual devices, which only
-# the host platform provides.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU even when the session environment points JAX at a TPU tunnel:
+# unit tests want x64 + 8 virtual devices, which only the host platform
+# provides.  NOTE: a sitecustomize registers the TPU plugin at interpreter
+# start and the JAX_PLATFORMS env var is ignored after that — the only
+# effective override is jax.config (verified: env-only override left the
+# whole suite silently running on 1 TPU device).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: most test time is XLA compiles; reuse them
 # across runs.

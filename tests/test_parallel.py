@@ -1,0 +1,130 @@
+"""Sharding: padded-block NLL equivalence, sharded loss == single-device
+loss, sharded training step, PF bank sharding.  Runs on the 8-virtual-CPU
+mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmdm_tpu import GPMDM, PFConfig, TrainConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.filter import particle_filter as pf
+from gpmdm_tpu.models import core
+from gpmdm_tpu.ops.layout import padded_class_indices
+from gpmdm_tpu.parallel import (
+    make_context,
+    make_mesh,
+    make_train_mesh,
+    nll_sharded,
+    pad_Y,
+    pf_scan_bank_sharded,
+    train_adam_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    train_seqs, train_labels, _, _ = synthetic.make_dataset(
+        n_classes=3, n_train_seqs=2, n_test_seqs=1, seq_len=20, D=9, seed=11
+    )
+    m = GPMDM(D=9, d=2, n_classes=3, dtype="float64")
+    for Y, c in zip(train_seqs, train_labels):
+        m.add_data(Y, c)
+    m.init_X()
+    return m
+
+
+def test_padded_block_nll_matches_loop(model):
+    """Batched identity-padded per-class NLL == the per-class loop."""
+    m = model
+    pads = padded_class_indices(m.layout, n_class_pad=4)  # one all-pad class
+    terms = core.x_nll_padded_blocks(
+        m.params,
+        m.config,
+        jnp.asarray(pads["idx_in"]),
+        jnp.asarray(pads["idx_prev"]),
+        jnp.asarray(pads["idx_out"]),
+        jnp.asarray(pads["mask"]),
+    )
+    total_padded = jnp.sum(terms) - m.layout.Nx * 2.0 * jnp.sum(m.params.x_log_lambdas)
+    want = core.x_neg_log_likelihood(m.params, m.config, m.layout)
+    np.testing.assert_allclose(float(total_padded), float(want), rtol=1e-10)
+    # the all-pad class contributes exactly zero
+    np.testing.assert_allclose(float(terms[3]), 0.0, atol=1e-10)
+
+
+def test_sharded_nll_matches_single_device(model):
+    """EP x TP sharded loss == single-device loss (D=9 not divisible by tp,
+    C=3 not divisible by ep: exercises both paddings)."""
+    m = model
+    mesh = make_train_mesh(8)  # ('ep', 'tp') = (2, 4)
+    ctx = make_context(m.config, m.layout, mesh)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    got = nll_sharded(m.params, pad_Y(Y, ctx), ctx)
+    want = core.nll(m.params, Y, m.config, m.layout)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
+def test_sharded_grad_matches_single_device(model):
+    m = model
+    mesh = make_train_mesh(8)
+    ctx = make_context(m.config, m.layout, mesh)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    g_sh = jax.grad(lambda p: nll_sharded(p, pad_Y(Y, ctx), ctx))(m.params)
+    g_ref = jax.grad(lambda p: core.nll(p, Y, m.config, m.layout))(m.params)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_training_decreases_loss(model):
+    m = model
+    mesh = make_train_mesh(8)
+    Y = m.get_Y()
+    params, _, losses = train_adam_sharded(
+        m.params, Y, m.config, m.layout, mesh, TrainConfig(num_steps=10, lr=0.01)
+    )
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(np.asarray(jax.tree.leaves(params)[0])).all()
+
+
+def test_sharded_training_matches_single_device(model):
+    """10 sharded Adam steps == 10 single-device Adam steps, bit-for-bit up
+    to float64 roundoff."""
+    from gpmdm_tpu.train.trainer import train_adam
+
+    m = model
+    mesh = make_train_mesh(8)
+    Y = m.get_Y()
+    tc = TrainConfig(num_steps=10, lr=0.01)
+    p_sh, _, losses_sh = train_adam_sharded(m.params, Y, m.config, m.layout, mesh, tc)
+    res = train_adam(m.params, Y, m.config, m.layout, tc)
+    np.testing.assert_allclose(
+        np.asarray(losses_sh), np.asarray(res.losses), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sh.X), np.asarray(res.params.X), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_pf_bank_sharded_matches_unsharded(model):
+    m = model
+    m.train_adam(num_opt_steps=20, lr=0.02)
+    mesh = make_mesh({"dp": 8})
+    pfc = PFConfig(num_particles=16)
+    B, T = 8, 5
+    log_T = jnp.log(jnp.full((3, 3), 1.0 / 3.0, dtype=jnp.float64))
+    states = pf.pf_init_bank(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc, B
+    )
+    Z = jnp.stack(
+        [jnp.asarray(synthetic.make_cycle(T, c % 3, 9), dtype=jnp.float64) for c in range(B)]
+    )
+    _, outs_sharded = pf_scan_bank_sharded(
+        states, Z, m.posterior, m.params, log_T, m.config, pfc, mesh
+    )
+    _, outs_ref = pf.pf_scan_bank(states, Z, m.posterior, m.params, log_T, m.config, pfc)
+    np.testing.assert_allclose(
+        np.asarray(outs_sharded.class_probs), np.asarray(outs_ref.class_probs), rtol=1e-8
+    )
