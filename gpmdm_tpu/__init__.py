@@ -9,8 +9,16 @@ for TPU (jit, vmap, lax.scan, shard_map, Pallas).
 
 from .config import GPMDMConfig, PFConfig, TrainConfig
 from .models.gpmdm import GPMDM
+from .models.sparse_gpmdm import SparseGPMDM
 from .filter.particle_filter import GPMDM_PF
 
 __version__ = "0.1.0"
 
-__all__ = ["GPMDM", "GPMDM_PF", "GPMDMConfig", "PFConfig", "TrainConfig"]
+__all__ = [
+    "GPMDM",
+    "SparseGPMDM",
+    "GPMDM_PF",
+    "GPMDMConfig",
+    "PFConfig",
+    "TrainConfig",
+]

@@ -63,10 +63,17 @@ def _load_dataset(args):
 
 
 def _cmd_train(args) -> int:
-    from . import GPMDM
+    from . import GPMDM, SparseGPMDM
 
     train, _, D = _load_dataset(args)
-    model = GPMDM(
+    cls = SparseGPMDM if args.sparse else GPMDM
+    extra = (
+        {"n_inducing_y": args.inducing, "n_inducing_x": args.inducing}
+        if args.sparse
+        else {}
+    )
+    model = cls(
+        **extra,
         D=D,
         d=args.latent_dim,
         n_classes=2,
@@ -154,6 +161,10 @@ def main(argv=None) -> int:
     pt.add_argument("--steps", type=int, default=500)
     pt.add_argument("--lr", type=float, default=0.01)
     pt.add_argument("--dtype", default="float32")
+    pt.add_argument("--sparse", action="store_true",
+                    help="sparse inducing-point model (O(N M^2) training)")
+    pt.add_argument("--inducing", type=int, default=64,
+                    help="inducing points per GP (with --sparse)")
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate the particle filter on test trials")

@@ -51,6 +51,21 @@ _LOG_2PI = math.log(2.0 * math.pi)
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _predictors(post):
+    """Posterior-backend dispatch: the filter runs unchanged on the exact GP
+    posterior (core.Posterior) or the sparse SGPR posterior
+    (sparse.SparsePosterior) — both expose the same (mean, per-dim var)
+    prediction contract.  Resolved at trace time (type check, no runtime
+    branch)."""
+    if isinstance(post, core.Posterior):
+        return core.predict_y, core.predict_x_all_classes
+    from ..models import sparse
+
+    if isinstance(post, sparse.SparsePosterior):
+        return sparse.predict_y, sparse.predict_x_all_classes
+    raise TypeError(f"unknown posterior backend: {type(post)!r}")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PFState:
@@ -164,6 +179,7 @@ def pf_step(
     Pure function: (state, observation) -> (new state, readouts).
     """
     P = state.x.shape[0]
+    predict_y, predict_x_all_classes = _predictors(post)
     key, k_trans, k_dyn, k_res = jax.random.split(state.key, 4)
 
     # 1. Markov class transition: sample next class from T[c] per particle
@@ -178,7 +194,7 @@ def pf_step(
         xin = state.x
     else:
         xin = jnp.concatenate([state.x, state.x_prev], axis=1)
-    means, variances = core.predict_x_all_classes(post, params, xin, cfg)  # (C, P, d)
+    means, variances = predict_x_all_classes(post, params, xin, cfg)  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
     eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)
@@ -188,7 +204,7 @@ def pf_step(
     x_new = state.x + prop if cfg.dyn_target == "delta" else prop
 
     # 3. Observation weighting (reference gpmdm_pf.py:170-204).
-    mean_y, var_y = core.predict_y(post, params, x_new, cfg)  # (P, D)
+    mean_y, var_y = predict_y(post, params, x_new, cfg)  # (P, D)
     var_y = jnp.maximum(var_y, 1e-12)
     log_lik = observation_log_lik(z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet)
     if pf_cfg.accumulate_weights:

@@ -1,2 +1,5 @@
-from . import core
+from . import core, sparse
 from .gpmdm import GPMDM
+from .sparse_gpmdm import SparseGPMDM
+
+__all__ = ["core", "sparse", "GPMDM", "SparseGPMDM"]

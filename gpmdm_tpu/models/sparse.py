@@ -1,0 +1,339 @@
+"""Sparse (inducing-point) GPMDM: variational free-energy training and
+SGPR posteriors.
+
+The reference's exact-GP formulation is O(N^3) in total training frames and
+its own discussion names inducing-point approximations as the path to longer
+sequences (reference paper §5; SURVEY.md §5 "long-context").  There is no
+reference implementation — this module is designed from the standard sparse
+variational GP regression equations (Titsias 2009 VFE / SGPR), applied to
+both GPMDM maps:
+
+- observation map: one sparse GP, M_y inducing inputs in latent space,
+- dynamics map: one sparse GP *per class*, M_x inducing inputs each
+  (batched over the class axis; the expert-parallel layout).
+
+Objective per GP (multi-output, with the reference's per-dimension output
+scales W = diag(exp(log_lambdas)) and noise sigma^2):
+
+    L = Dout/2 * (log|B| + N log sigma^2)
+        + 1/(2 sigma^2) * sum_j w_j^2 (|y_j|^2 - |c_j|^2)
+        - N log|W|
+        + Dout/(2 sigma^2) * tr(Knn - Qnn)
+
+with  Kmm = k(Z,Z) + jitter,  Lm = chol(Kmm),  A = Lm^-1 k(Z,X) / sigma,
+      B = I + A A^T,  LB = chol(B),  c_j = LB^-1 A y_j,
+      Qnn = k(X,Z) Kmm^-1 k(Z,X).
+
+This reduces to the reference's exact NLL (up to the VFE trace regularizer,
+which -> 0) when Z = X.  Cost: O(N M^2) per step instead of O(N^3).
+
+Posterior (SGPR):  mean(x*) = k*m beta,
+    var(x*) = k** - |Lm^-1 km*|^2 + |LB^-1 Lm^-1 km*|^2,
+with beta = sigma^-2 Lm^-T LB^-T c.  Exposed with the same
+(mean, per-dim var) contract as the exact posteriors in
+:mod:`gpmdm_tpu.models.core`, so the particle filter runs unchanged on
+either backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..config import GPMDMConfig
+from ..ops import kernels as K
+from ..ops.layout import DataLayout, padded_class_indices
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SparseParams:
+    """Trainable state of the sparse model: the exact model's parameters
+    (log-space hyperparameters + latent X, see core.GPMDMParams) plus free
+    inducing inputs."""
+
+    y_log_lengthscales: jax.Array  # (d,)
+    y_log_lambdas: jax.Array  # (D,)
+    y_log_sigma_n: jax.Array  # ()
+    x_log_lengthscales: jax.Array  # (d * back_step,)
+    x_log_lambdas: jax.Array  # (d,)
+    x_log_sigma_n: jax.Array  # ()
+    x_log_lin_coeff: jax.Array  # (d * back_step + 1,)
+    X: jax.Array  # (Ny, d)
+    Zy: jax.Array  # (My, d) observation-GP inducing inputs
+    Zx: jax.Array  # (C, Mx, d * back_step) per-class dynamics inducing inputs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SparsePosterior:
+    """Precomputed SGPR posterior state for both maps."""
+
+    X: jax.Array  # latent snapshot (for PF init sampling)
+    Zy: jax.Array  # (My, d)
+    Ly: jax.Array  # (My, My) chol(Kmm_y)
+    LBy: jax.Array  # (My, My) chol(B_y)
+    beta_y: jax.Array  # (My, D)
+    Zx: jax.Array  # (C, Mx, din)
+    Lx: jax.Array  # (C, Mx, Mx)
+    LBx: jax.Array  # (C, Mx, Mx)
+    beta_x: jax.Array  # (C, Mx, d)
+
+
+_JITTER = 1e-6
+
+
+def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None):
+    """Shared VFE pieces for one GP.
+
+    Kmm (M, M), Kmn (M, N), knn_diag (N,), Y (N, Dout), w2 (Dout,).
+    ``col_mask`` (N,) zeroes padded data columns (class-padding support);
+    ``n_valid`` is the true data count N (scalar, may be traced).
+    Returns (nll, Lm, LB, c) where c = LB^-1 A Y.
+    """
+    M = Kmm.shape[0]
+    sigma2 = jnp.exp(log_sigma) ** 2 + _JITTER
+    if col_mask is not None:
+        Kmn = Kmn * col_mask[None, :]
+        knn_diag = knn_diag * col_mask
+        Y = Y * col_mask[:, None]
+    Lm = jnp.linalg.cholesky(Kmm + _JITTER * jnp.eye(M, dtype=Kmm.dtype))
+    A = jsl.solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(sigma2)  # (M, N)
+    B = jnp.eye(M, dtype=Kmm.dtype) + jnp.matmul(A, A.T, precision=_PREC)
+    LB = jnp.linalg.cholesky(B)
+    logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+    AY = jnp.matmul(A, Y, precision=_PREC)  # (M, Dout)
+    c = jsl.solve_triangular(LB, AY, lower=True)  # (M, Dout)
+    quad = (jnp.sum(Y * Y, axis=0) - jnp.sum(c * c, axis=0)) / sigma2  # (Dout,)
+    trace = (jnp.sum(knn_diag) - sigma2 * jnp.sum(A * A)) / sigma2
+    Dout = Y.shape[1]
+    nll = (
+        Dout / 2.0 * (logdet_B + n_valid * jnp.log(sigma2))
+        + 0.5 * jnp.sum(w2 * quad)
+        - n_valid * 0.5 * jnp.sum(jnp.log(w2))
+        + Dout / 2.0 * trace
+    )
+    return nll, Lm, LB, c
+
+
+def y_sparse_nll(params: SparseParams, Y: jax.Array, cfg: GPMDMConfig) -> jax.Array:
+    """Sparse observation-map NLL (VFE form of core.y_neg_log_likelihood)."""
+    Kmm = K.rbf_kernel(params.Zy, params.Zy, params.y_log_lengthscales)
+    Kmn = K.rbf_kernel(params.Zy, params.X, params.y_log_lengthscales)
+    knn_diag = jnp.ones((params.X.shape[0],), dtype=Y.dtype)
+    w2 = jnp.exp(params.y_log_lambdas) ** 2
+    nll, _, _, _ = _sgpr_terms(
+        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0]
+    )
+    return nll
+
+
+def _class_xin_xout(params: SparseParams, cfg: GPMDMConfig, pads: dict):
+    """Padded per-class (Xin_c, Xout_c, mask) from the latent matrix."""
+    X = params.X
+    mask = pads["mask"]
+    x_t = X[pads["idx_in"]] * mask[:, :, None]
+    if cfg.dyn_back_step == 1:
+        Xin_c = x_t
+    else:
+        Xin_c = jnp.concatenate([x_t, X[pads["idx_prev"]] * mask[:, :, None]], axis=2)
+    Xout_c = X[pads["idx_out"]] * mask[:, :, None]
+    if cfg.dyn_target == "delta":
+        Xout_c = Xout_c - x_t
+    return Xin_c, Xout_c, mask
+
+
+def x_sparse_nll(
+    params: SparseParams, cfg: GPMDMConfig, pads: dict
+) -> jax.Array:
+    """Sparse per-class dynamics NLL, batched over classes."""
+    Xin_c, Xout_c, mask = _class_xin_xout(params, cfg, pads)
+    w2 = jnp.exp(params.x_log_lambdas) ** 2
+
+    def per_class(Z, Xin_b, Xout_b, m):
+        Kmm = K.x_kernel(
+            Z, Z, params.x_log_lengthscales, params.x_log_sigma_n,
+            params.x_log_lin_coeff, with_noise=False,
+        )
+        Kmn = K.x_kernel(
+            Z, Xin_b, params.x_log_lengthscales, params.x_log_sigma_n,
+            params.x_log_lin_coeff, with_noise=False,
+        )
+        knn_diag = K.x_diag_kernel(Xin_b, params.x_log_lin_coeff, params.x_log_sigma_n)
+        nll, _, _, _ = _sgpr_terms(
+            Kmm, Kmn, knn_diag, Xout_b, params.x_log_sigma_n, w2,
+            jnp.sum(m), col_mask=m,
+        )
+        return nll
+
+    return jnp.sum(jax.vmap(per_class)(params.Zx, Xin_c, Xout_c, mask))
+
+
+def sparse_nll(
+    params: SparseParams,
+    Y: jax.Array,
+    cfg: GPMDMConfig,
+    layout: DataLayout,
+    balance: float = 1.0,
+) -> jax.Array:
+    """Total sparse MAP objective L_y + balance * L_x."""
+    pads = _pads_jnp(layout, Y.dtype)
+    b = balance if cfg.balance_fix else 1.0
+    return y_sparse_nll(params, Y, cfg) + b * x_sparse_nll(params, cfg, pads)
+
+
+def _pads_jnp(layout: DataLayout, dtype) -> dict:
+    pads = padded_class_indices(layout)
+    return {
+        "idx_in": jnp.asarray(pads["idx_in"]),
+        "idx_prev": jnp.asarray(pads["idx_prev"]),
+        "idx_out": jnp.asarray(pads["idx_out"]),
+        "mask": jnp.asarray(pads["mask"], dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Posterior precompute + prediction (same contract as core.predict_*)
+# ---------------------------------------------------------------------------
+
+
+def precompute(
+    params: SparseParams, Y: jax.Array, cfg: GPMDMConfig, layout: DataLayout
+) -> SparsePosterior:
+    """Precompute SGPR posterior state for both maps."""
+    dt = Y.dtype
+    # observation GP
+    Kmm = K.rbf_kernel(params.Zy, params.Zy, params.y_log_lengthscales)
+    Kmn = K.rbf_kernel(params.Zy, params.X, params.y_log_lengthscales)
+    knn_diag = jnp.ones((params.X.shape[0],), dtype=dt)
+    w2 = jnp.exp(params.y_log_lambdas) ** 2
+    _, Lm, LB, c = _sgpr_terms(
+        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0]
+    )
+    sigma2 = jnp.exp(params.y_log_sigma_n) ** 2 + _JITTER
+    beta_y = jsl.solve_triangular(
+        Lm.T, jsl.solve_triangular(LB.T, c, lower=False), lower=False
+    ) / jnp.sqrt(sigma2)
+
+    # per-class dynamics GPs
+    pads = _pads_jnp(layout, dt)
+    Xin_c, Xout_c, mask = _class_xin_xout(params, cfg, pads)
+    w2x = jnp.exp(params.x_log_lambdas) ** 2
+
+    def per_class(Z, Xin_b, Xout_b, m):
+        Kmm = K.x_kernel(
+            Z, Z, params.x_log_lengthscales, params.x_log_sigma_n,
+            params.x_log_lin_coeff, with_noise=False,
+        )
+        Kmn = K.x_kernel(
+            Z, Xin_b, params.x_log_lengthscales, params.x_log_sigma_n,
+            params.x_log_lin_coeff, with_noise=False,
+        )
+        knn_diag = K.x_diag_kernel(Xin_b, params.x_log_lin_coeff, params.x_log_sigma_n)
+        _, Lm, LB, c = _sgpr_terms(
+            Kmm, Kmn, knn_diag, Xout_b, params.x_log_sigma_n, w2x,
+            jnp.sum(m), col_mask=m,
+        )
+        s2 = jnp.exp(params.x_log_sigma_n) ** 2 + _JITTER
+        beta = jsl.solve_triangular(
+            Lm.T, jsl.solve_triangular(LB.T, c, lower=False), lower=False
+        ) / jnp.sqrt(s2)
+        return Lm, LB, beta
+
+    Lx, LBx, beta_x = jax.vmap(per_class)(params.Zx, Xin_c, Xout_c, mask)
+    return SparsePosterior(
+        X=params.X,
+        Zy=params.Zy,
+        Ly=Lm,
+        LBy=LB,
+        beta_y=beta_y,
+        Zx=params.Zx,
+        Lx=Lx,
+        LBx=LBx,
+        beta_x=beta_x,
+    )
+
+
+def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag):
+    """Shared SGPR predictive mean / common variance.
+
+    Kstar_m: (M, N*) star kernel against inducing inputs."""
+    mean = jnp.matmul(Kstar_m.T, beta, precision=_PREC)  # (N*, Dout)
+    v1 = jsl.solve_triangular(Lm, Kstar_m, lower=True)  # (M, N*)
+    v2 = jsl.solve_triangular(LB, v1, lower=True)
+    var_common = kss_diag - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
+    return mean, jnp.maximum(var_common, 1e-12)
+
+
+def predict_y(
+    post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
+    cfg: GPMDMConfig, with_noise: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse latent -> observation posterior; same contract as
+    core.predict_y."""
+    Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales)
+    kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
+    mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss)
+    var = var_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
+    return mean, var
+
+
+def predict_x_all_classes(
+    post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
+    cfg: GPMDMConfig, with_noise: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse per-class dynamics posterior for every class at once; same
+    contract as core.predict_x_all_classes: (C, N*, d) mean and var."""
+    kss = K.x_diag_kernel(
+        Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
+    )
+
+    def per_class(Z, Lm, LB, beta):
+        Kstar = K.x_kernel(
+            Z, Xstar, params.x_log_lengthscales, params.x_log_sigma_n,
+            params.x_log_lin_coeff, with_noise=False,
+        )
+        return _sgpr_predict(Lm, LB, beta, Kstar, kss)
+
+    means, var_common = jax.vmap(per_class)(post.Zx, post.Lx, post.LBx, post.beta_x)
+    var = var_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
+    return means, var
+
+
+def predict_x_for_class(
+    post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
+    class_index: int, cfg: GPMDMConfig, with_noise: bool = False,
+):
+    mean, var = predict_x_all_classes(post, params, Xstar, cfg, with_noise)
+    return mean[class_index], var[class_index]
+
+
+def init_inducing(
+    X0: np.ndarray, layout: DataLayout, cfg: GPMDMConfig, n_inducing_y: int, n_inducing_x: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic inducing-input init: an even-stride subset of the PCA
+    latent init (observation GP) and of each class's dynamics inputs."""
+    Ny = X0.shape[0]
+    idx = np.linspace(0, Ny - 1, n_inducing_y).round().astype(int)
+    Zy = X0[idx].copy()
+
+    pads = padded_class_indices(layout)
+    C = layout.n_classes
+    din = cfg.d * cfg.dyn_back_step
+    Zx = np.zeros((C, n_inducing_x, din), dtype=X0.dtype)
+    for c in range(C):
+        n_c = int(layout.class_x_counts[c])
+        sel = np.linspace(0, n_c - 1, n_inducing_x).round().astype(int)
+        x_t = X0[pads["idx_in"][c, sel]]
+        if cfg.dyn_back_step == 1:
+            Zx[c] = x_t
+        else:
+            Zx[c] = np.concatenate([x_t, X0[pads["idx_prev"][c, sel]]], axis=1)
+    return Zy, Zx

@@ -61,13 +61,31 @@ def trainable_mask(cfg: GPMDMConfig, mode: str = "all") -> core.GPMDMParams:
 
 
 @functools.lru_cache(maxsize=64)
-def _get_run_chunk(cfg: GPMDMConfig, layout: DataLayout, lr: float, balance: float, mode: str):
+def _get_run_chunk(
+    cfg: GPMDMConfig,
+    layout: DataLayout,
+    lr: float,
+    balance: float,
+    mode: str,
+    kind: str = "exact",
+):
     """Build (optimizer, jitted chunk runner) once per (config, layout,
     hyperparameter) combination — a fresh jax.jit per train_adam call would
-    recompile the whole scan every time."""
+    recompile the whole scan every time.  ``kind`` selects the model family:
+    'exact' (core.nll) or 'sparse' (sparse.sparse_nll + inducing-input
+    mask)."""
     optimizer = optax.adam(lr)
-    mask = trainable_mask(cfg, mode)
-    step = make_update_step(cfg, layout, optimizer, balance, mask)
+    if kind == "exact":
+        mask = trainable_mask(cfg, mode)
+        loss_fn = core.nll
+    elif kind == "sparse":
+        from ..models import sparse
+
+        mask = sparse_trainable_mask(cfg, mode)
+        loss_fn = sparse.sparse_nll
+    else:
+        raise ValueError(f"unknown model kind {kind!r}")
+    step = make_update_step(cfg, layout, optimizer, balance, mask, loss_fn)
 
     @partial(jax.jit, static_argnames=("n",))
     def run_chunk(params, opt_state, Y, n):
@@ -88,19 +106,39 @@ class TrainResult:
     steps_per_sec: float
 
 
+def sparse_trainable_mask(cfg: GPMDMConfig, mode: str = "all"):
+    """Trainability mask for SparseParams: the exact-model mask plus the
+    inducing inputs (Zy trains with the latent/observation group, Zx with
+    the dynamics group)."""
+    from ..models import sparse
+
+    base = trainable_mask(cfg, mode)
+    y_on = mode in ("all", "latent")
+    x_on = mode in ("all", "dynamics")
+    return sparse.SparseParams(
+        **{f.name: getattr(base, f.name) for f in dataclasses.fields(base)},
+        Zy=jnp.asarray(1.0 if y_on else 0.0),
+        Zx=jnp.asarray(1.0 if x_on else 0.0),
+    )
+
+
 def make_update_step(
     cfg: GPMDMConfig,
     layout: DataLayout,
     optimizer: optax.GradientTransformation,
     balance: float,
     mask: core.GPMDMParams,
+    loss_fn: Callable = None,
 ) -> Callable:
     """One jittable Adam step: value_and_grad of the MAP loss, masked by
-    trainability flags, with a NaN freeze."""
+    trainability flags, with a NaN freeze.  ``loss_fn(params, Y, cfg,
+    layout, balance)`` defaults to the exact-GP loss core.nll."""
+    if loss_fn is None:
+        loss_fn = core.nll
 
     def step(carry, _):
         params, opt_state, Y = carry
-        loss, grads = jax.value_and_grad(core.nll)(params, Y, cfg, layout, balance)
+        loss, grads = jax.value_and_grad(loss_fn)(params, Y, cfg, layout, balance)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -127,6 +165,7 @@ def train_adam(
     mode: str = "all",
     opt_state: optax.OptState | None = None,
     log_fn: Callable[[int, float, float], None] | None = None,
+    kind: str = "exact",
 ) -> TrainResult:
     """Run Adam for ``train_cfg.num_steps`` steps (reference train_adam,
     gpmdm.py:817-885).
@@ -137,12 +176,14 @@ def train_adam(
     Returns updated params, optimizer state, and the per-step loss history.
     """
     optimizer, run_chunk = _get_run_chunk(
-        cfg, layout, train_cfg.lr, train_cfg.balance, mode
+        cfg, layout, train_cfg.lr, train_cfg.balance, mode, kind
     )
     if opt_state is None:
         opt_state = optimizer.init(params)
 
     chunk = train_cfg.print_every if train_cfg.print_every > 0 else train_cfg.num_steps
+    if train_cfg.checkpoint_every > 0:
+        chunk = min(chunk, train_cfg.checkpoint_every)
     chunk = max(1, min(chunk, train_cfg.num_steps))
 
     Y = jnp.asarray(Y, dtype=jnp.dtype(cfg.dtype))
@@ -157,6 +198,20 @@ def train_adam(
         done += n
         if log_fn is not None:
             log_fn(done, float(losses[-1]), time.perf_counter() - t0)
+        if (
+            train_cfg.checkpoint_every > 0
+            and train_cfg.checkpoint_path
+            and done % train_cfg.checkpoint_every == 0
+        ):
+            from ..utils.checkpoint import save_train_state
+
+            save_train_state(
+                train_cfg.checkpoint_path,
+                params,
+                opt_state,
+                done,
+                jnp.concatenate(all_losses),
+            )
         if not bool(jnp.isfinite(losses[-1])):
             break  # NaN guard tripped inside the chunk; parameters are frozen
     wall = time.perf_counter() - t0

@@ -45,11 +45,14 @@ FORMAT_VERSION = 1
 
 
 def save_model(model, file_path) -> None:
+    import dataclasses
+
     file_path = Path(file_path)
     arrays = {}
     meta = {
         "format_version": FORMAT_VERSION,
         "config": model.config.to_dict(),
+        "model_class": type(model).__name__,
         "n_sequences_per_class": [
             len(seqs) for seqs in model.class_aware_observations_list
         ],
@@ -60,11 +63,15 @@ def save_model(model, file_path) -> None:
             for k, v in model._init_hypers.items()
         },
     }
+    if hasattr(model, "n_inducing_y"):
+        meta["n_inducing_y"] = model.n_inducing_y
+        meta["n_inducing_x"] = model.n_inducing_x
     for c, seqs in enumerate(model.class_aware_observations_list):
         for i, s in enumerate(seqs):
             arrays[f"obs_{c}_{i}"] = np.asarray(s)
     if model.params is not None:
-        for f in _PARAM_FIELDS:
+        meta["param_fields"] = [f.name for f in dataclasses.fields(model.params)]
+        for f in meta["param_fields"]:
             arrays[f"param_{f}"] = np.asarray(getattr(model.params, f))
     if model._opt_state is not None:
         import jax
@@ -86,7 +93,17 @@ def load_model(cls, file_path):
         meta = json.loads(bytes(data["meta_json"]).decode("utf-8"))
         cfg = GPMDMConfig.from_dict(meta["config"])
         ih = meta["init_hypers"]
+        extra = {}
+        if meta.get("model_class") == "SparseGPMDM":
+            from ..models.sparse_gpmdm import SparseGPMDM
+
+            cls = SparseGPMDM
+            extra = {
+                "n_inducing_y": meta["n_inducing_y"],
+                "n_inducing_x": meta["n_inducing_x"],
+            }
         model = cls(
+            **extra,
             D=cfg.D,
             d=cfg.d,
             n_classes=cfg.n_classes,
@@ -119,8 +136,13 @@ def load_model(cls, file_path):
 
             model.layout = model._build_layout()
             dt = jnp.dtype(cfg.dtype)
-            model.params = core.GPMDMParams(
-                **{f: jnp.asarray(data[f"param_{f}"], dtype=dt) for f in _PARAM_FIELDS}
+            fields = meta.get("param_fields", list(_PARAM_FIELDS))
+            if meta.get("model_class") == "SparseGPMDM":
+                from ..models.sparse import SparseParams as _ParamCls
+            else:
+                _ParamCls = core.GPMDMParams
+            model.params = _ParamCls(
+                **{f: jnp.asarray(data[f"param_{f}"], dtype=dt) for f in fields}
             )
             if meta.get("has_opt_state"):
                 import jax

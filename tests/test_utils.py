@@ -1,0 +1,78 @@
+"""Aux subsystems: mid-training checkpoint/resume, metrics, stage timer."""
+
+import numpy as np
+
+from gpmdm_tpu import GPMDM, TrainConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.train.trainer import train_adam
+from gpmdm_tpu.utils import checkpoint as ckpt
+from gpmdm_tpu.utils.metrics import binary_prf, confusion_matrix, macro_prf
+from gpmdm_tpu.utils.profiling import StageTimer
+
+
+def small_model():
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=25, D=8, seed=3
+    )
+    m = GPMDM(D=8, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    return m
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Train 10 steps with checkpoint-every-5; resume from the 5-step
+    snapshot and land exactly where an uninterrupted run lands."""
+    m = small_model()
+    Y = m.get_Y()
+    path = tmp_path / "train_state.npz"
+    tc = TrainConfig(num_steps=10, lr=0.01, checkpoint_every=5, checkpoint_path=str(path))
+    res_full = train_adam(m.params, Y, m.config, m.layout, tc)
+    assert path.exists()
+
+    # reload the mid-run snapshot (it was overwritten at step 10; use it)
+    import optax
+
+    template_opt = optax.adam(0.01).init(m.params)
+    params_ck, opt_ck, step, losses_ck = ckpt.load_train_state(
+        path, m.params, template_opt
+    )
+    assert step == 10
+    np.testing.assert_allclose(
+        np.asarray(params_ck.X), np.asarray(res_full.params.X), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(losses_ck), np.asarray(res_full.losses))
+
+    # resume for 5 more steps == one 15-step run
+    tc2 = TrainConfig(num_steps=5, lr=0.01)
+    res_resumed = train_adam(params_ck, Y, m.config, m.layout, tc2, opt_state=opt_ck)
+    res_15 = train_adam(m.params, Y, m.config, m.layout, TrainConfig(num_steps=15, lr=0.01))
+    np.testing.assert_allclose(
+        np.asarray(res_resumed.params.X), np.asarray(res_15.params.X), rtol=1e-9
+    )
+
+
+def test_confusion_and_prf():
+    pred = np.array([0, 0, 1, 1, 0, 1])
+    true = np.array([0, 1, 1, 1, 0, 0])
+    cm = confusion_matrix(pred, true, 2)
+    assert cm.tolist() == [[2, 1], [1, 2]]
+    m = binary_prf(cm, positive=0)
+    assert abs(m["accuracy"] - 4 / 6) < 1e-12
+    assert abs(m["precision"] - 2 / 3) < 1e-12
+    assert abs(m["recall"] - 2 / 3) < 1e-12
+    m3 = macro_prf(np.eye(3, dtype=np.int64) * 5)
+    assert m3["accuracy"] == 1.0 and m3["f1"] == 1.0
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a:" in t.summary()
