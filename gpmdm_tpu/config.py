@@ -137,15 +137,37 @@ class PFConfig:
         (w_t = p(z|x) * w_{t-1}).  The reference resets weights to the
         current likelihood every frame (gpmdm_pf.py:200, valid because it
         resamples every frame); default False for parity.
+    precision:
+        MXU precision for the filter's GP-posterior matmuls: 'default'
+        (1-pass bf16, fastest), 'high' (3-pass), 'highest' (6-pass,
+        training-grade).  The star-kernel/variance matmuls dominate the
+        filter's TPU runtime; 'high' keeps weights accurate at a fraction
+        of the 'highest' cost.
     """
 
     num_particles: int = 100
     resampling: str = "systematic"
     compat_double_logdet: bool = False
     accumulate_weights: bool = False
+    precision: str = "high"
+    pallas: str = "auto"
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
             raise ValueError("resampling must be 'systematic' or 'multinomial'")
         if self.num_particles < 1:
             raise ValueError("num_particles must be >= 1")
+        if self.precision not in ("default", "high", "highest"):
+            raise ValueError("precision must be 'default', 'high' or 'highest'")
+        if self.pallas not in ("auto", "on", "off"):
+            raise ValueError("pallas must be 'auto', 'on' or 'off'")
+
+    @property
+    def lax_precision(self):
+        import jax
+
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.precision]

@@ -194,7 +194,9 @@ def pf_step(
         xin = state.x
     else:
         xin = jnp.concatenate([state.x, state.x_prev], axis=1)
-    means, variances = predict_x_all_classes(post, params, xin, cfg)  # (C, P, d)
+    means, variances = predict_x_all_classes(
+        post, params, xin, cfg, precision=pf_cfg.lax_precision
+    )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
     eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)
@@ -203,8 +205,34 @@ def pf_step(
     # reference hard-codes); 'delta' adds it to the current state.
     x_new = state.x + prop if cfg.dyn_target == "delta" else prop
 
-    # 3. Observation weighting (reference gpmdm_pf.py:170-204).
-    mean_y, var_y = predict_y(post, params, x_new, cfg)  # (P, D)
+    # 3. Observation weighting (reference gpmdm_pf.py:170-204).  On TPU with
+    #    the exact posterior, the star kernel + mean + variance-quad pipeline
+    #    runs as one fused Pallas kernel (no (N, P) intermediates in HBM).
+    use_pallas = pf_cfg.pallas == "on" or (
+        pf_cfg.pallas == "auto"
+        and isinstance(post, core.Posterior)
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas and isinstance(post, core.Posterior):
+        from ..ops.pallas.gp_posterior import fused_rbf_posterior
+        from ..ops import kernels as _K
+
+        mean_y, quad = fused_rbf_posterior(
+            post.X,
+            x_new,
+            post.Ay,
+            post.Ky_inv,
+            jnp.exp(-params.y_log_lengthscales),
+        )
+        diag = _K.y_diag_kernel(x_new, params.y_log_sigma_n, cfg.sigma_n_num_Y, False)
+        var_common = diag - quad
+        var_y = (
+            var_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
+        ).astype(mean_y.dtype)
+    else:
+        mean_y, var_y = predict_y(
+            post, params, x_new, cfg, precision=pf_cfg.lax_precision
+        )  # (P, D)
     var_y = jnp.maximum(var_y, 1e-12)
     log_lik = observation_log_lik(z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet)
     if pf_cfg.accumulate_weights:
@@ -268,6 +296,39 @@ def pf_scan(
         return pf_step(s, z, post, params, log_T, cfg, pf_cfg)
 
     return jax.lax.scan(step, state, Z)
+
+
+def pf_scan_masked(
+    state: PFState,
+    Z: jax.Array,
+    valid: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """``pf_scan`` over a padded (T_pad, D) sequence: frames where
+    ``valid[t] == False`` are no-ops (state passes through unchanged, their
+    outputs are garbage to be sliced off).  Lets callers bucket variable
+    trial lengths into a handful of compiled shapes instead of recompiling
+    the scan per length."""
+
+    def step(s, inp):
+        z, v = inp
+        s2, out = pf_step(s, z, post, params, log_T, cfg, pf_cfg)
+        s_new = jax.tree.map(lambda a, b: jnp.where(v, a, b), s2, s)
+        return s_new, out
+
+    return jax.lax.scan(step, state, (Z, valid))
+
+
+def bucket_length(T: int, min_bucket: int = 64) -> int:
+    """Smallest power-of-two bucket >= T (>= min_bucket)."""
+    b = min_bucket
+    while b < T:
+        b *= 2
+    return b
 
 
 def pf_scan_bank(
@@ -347,8 +408,10 @@ class GPMDM_PF:
             return pf_step(state, z, post, params, self._log_T, cfg, pf_cfg)
 
         @jax.jit
-        def _scan(state, Z, post, params):
-            return pf_scan(state, Z, post, params, self._log_T, cfg, pf_cfg)
+        def _scan(state, Z, valid, post, params):
+            return pf_scan_masked(
+                state, Z, valid, post, params, self._log_T, cfg, pf_cfg
+            )
 
         self._jit_step = _step
         self._jit_scan = _scan
@@ -377,11 +440,20 @@ class GPMDM_PF:
 
     def run(self, Z) -> PFOutputs:
         """Stream a whole (T, D) sequence in one compiled scan; returns
-        stacked per-frame outputs."""
-        Z = jnp.asarray(Z, dtype=self._gpmdm.dtype)
+        stacked per-frame outputs.
+
+        Sequences are padded to power-of-two length buckets so streaming
+        many variable-length trials compiles only a handful of shapes
+        (padded frames are masked no-ops and sliced off the outputs)."""
+        Z = jnp.atleast_2d(jnp.asarray(Z, dtype=self._gpmdm.dtype))
+        T = Z.shape[0]
+        T_pad = bucket_length(T)
+        valid = jnp.arange(T_pad) < T
+        Zp = jnp.pad(Z, ((0, T_pad - T), (0, 0)))
         self.state, outs = self._jit_scan(
-            self.state, Z, self._gpmdm.posterior, self._gpmdm.params
+            self.state, Zp, valid, self._gpmdm.posterior, self._gpmdm.params
         )
+        outs = jax.tree.map(lambda a: a[:T], outs)
         self._last_outputs = jax.tree.map(lambda a: a[-1], outs)
         return outs
 

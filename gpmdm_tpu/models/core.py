@@ -342,17 +342,26 @@ def precompute(
 
 
 def predict_y(
-    post: Posterior, params: GPMDMParams, Xstar: jax.Array, cfg: GPMDMConfig, with_noise: bool = False
+    post: Posterior,
+    params: GPMDMParams,
+    Xstar: jax.Array,
+    cfg: GPMDMConfig,
+    with_noise: bool = False,
+    precision=_PREC,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation GP posterior (reference map_x_to_y,
     gpmdm.py:923-963).
 
     Returns mean (N*, D) and per-dimension variance (N*, D) where the common
     variance is scaled by exp(y_log_lambdas)^-2 per output dimension.
+    ``precision`` tunes the MXU pass count: HIGHEST for training-grade
+    accuracy, HIGH/DEFAULT for the particle-filter hot path.
     """
-    Kstar = K.rbf_kernel(post.X, Xstar, params.y_log_lengthscales)  # (Ny, N*)
-    mean = jnp.matmul(Kstar.T, post.Ay, precision=_PREC)  # (N*, D)
-    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=_PREC)  # (Ny, N*)
+    Kstar = K.rbf_kernel(
+        post.X, Xstar, params.y_log_lengthscales, precision=precision
+    )  # (Ny, N*)
+    mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (N*, D)
+    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=precision)  # (Ny, N*)
     diag_common = K.y_diag_kernel(
         Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise
     ) - jnp.sum(Kstar * KiK, axis=0)
@@ -383,7 +392,12 @@ def predict_x(
 
 
 def predict_x_all_classes(
-    post: Posterior, params: GPMDMParams, Xstar: jax.Array, cfg: GPMDMConfig, with_noise: bool = False
+    post: Posterior,
+    params: GPMDMParams,
+    Xstar: jax.Array,
+    cfg: GPMDMConfig,
+    with_noise: bool = False,
+    precision=_PREC,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics GP posterior for *every* class at once.
 
@@ -404,11 +418,12 @@ def predict_x_all_classes(
             params.x_log_sigma_n,
             params.x_log_lin_coeff,
             with_noise=False,
+            precision=precision,
         )
     )(post.Xin_c)
     kst = kst * post.mask_c[:, :, None]  # zero padded rows (masked star kernel)
-    mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=_PREC)
-    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=_PREC)
+    mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
+    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=precision)
     diag_star = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )  # (N*,)

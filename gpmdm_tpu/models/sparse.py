@@ -274,11 +274,11 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag):
 
 def predict_y(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
-    cfg: GPMDMConfig, with_noise: bool = False,
+    cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse latent -> observation posterior; same contract as
     core.predict_y."""
-    Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales)
+    Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales, precision=precision)
     kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
     mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss)
     var = var_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
@@ -287,7 +287,7 @@ def predict_y(
 
 def predict_x_all_classes(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
-    cfg: GPMDMConfig, with_noise: bool = False,
+    cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse per-class dynamics posterior for every class at once; same
     contract as core.predict_x_all_classes: (C, N*, d) mean and var."""
@@ -298,7 +298,7 @@ def predict_x_all_classes(
     def per_class(Z, Lm, LB, beta):
         Kstar = K.x_kernel(
             Z, Xstar, params.x_log_lengthscales, params.x_log_sigma_n,
-            params.x_log_lin_coeff, with_noise=False,
+            params.x_log_lin_coeff, with_noise=False, precision=precision,
         )
         return _sgpr_predict(Lm, LB, beta, Kstar, kss)
 

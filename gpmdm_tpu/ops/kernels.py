@@ -26,7 +26,12 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def weighted_sqdist(X1: jax.Array, X2: jax.Array, log_lengthscales: jax.Array) -> jax.Array:
+def weighted_sqdist(
+    X1: jax.Array,
+    X2: jax.Array,
+    log_lengthscales: jax.Array,
+    precision=_PREC,
+) -> jax.Array:
     """Pairwise squared distance with per-dimension inverse lengthscale weights.
 
     ``dist[i,j] = sum_k ((X1[i,k]-X2[j,k]) / exp(log_lengthscales[k]))^2``
@@ -39,7 +44,7 @@ def weighted_sqdist(X1: jax.Array, X2: jax.Array, log_lengthscales: jax.Array) -
     B = X2 * inv_ls
     a2 = jnp.sum(A * A, axis=1, keepdims=True)
     b2 = jnp.sum(B * B, axis=1, keepdims=True)
-    return a2 + b2.T - 2.0 * jnp.matmul(A, B.T, precision=_PREC)
+    return a2 + b2.T - 2.0 * jnp.matmul(A, B.T, precision=precision)
 
 
 def rbf_kernel(
@@ -49,6 +54,7 @@ def rbf_kernel(
     log_sigma_n: jax.Array | None = None,
     sigma_n_num: float = 0.0,
     with_noise: bool = False,
+    precision=_PREC,
 ) -> jax.Array:
     """Unit-signal-variance RBF kernel; optional diagonal noise.
 
@@ -56,14 +62,16 @@ def rbf_kernel(
     square symmetric use (X1 is X2) — callers must pass ``with_noise=False``
     for cross/star kernels, as the reference does.
     """
-    K = jnp.exp(-weighted_sqdist(X1, X2, log_lengthscales))
+    K = jnp.exp(-weighted_sqdist(X1, X2, log_lengthscales, precision))
     if with_noise:
         noise = jnp.exp(log_sigma_n) ** 2 + sigma_n_num**2
         K = K + noise * jnp.eye(X1.shape[0], dtype=K.dtype)
     return K
 
 
-def linear_kernel(X1: jax.Array, X2: jax.Array, log_lin_coeff: jax.Array) -> jax.Array:
+def linear_kernel(
+    X1: jax.Array, X2: jax.Array, log_lin_coeff: jax.Array, precision=_PREC
+) -> jax.Array:
     """Homogeneous linear kernel ``[X1,1] diag(exp(c)^2) [X2,1]^T``.
 
     Reference ``get_lin_kernel`` (gpmdm.py:520-548).  The last coefficient
@@ -71,7 +79,7 @@ def linear_kernel(X1: jax.Array, X2: jax.Array, log_lin_coeff: jax.Array) -> jax
     """
     w = jnp.exp(log_lin_coeff) ** 2  # (dim+1,)
     A = X1 * w[:-1]
-    K = jnp.matmul(A, X2.T, precision=_PREC)
+    K = jnp.matmul(A, X2.T, precision=precision)
     return K + w[-1]
 
 
@@ -82,9 +90,12 @@ def y_kernel(
     log_sigma_n: jax.Array,
     sigma_n_num: float = 0.0,
     with_noise: bool = True,
+    precision=_PREC,
 ) -> jax.Array:
     """Observation (latent->observation map) kernel K_y. Reference gpmdm.py:381-406."""
-    return rbf_kernel(X1, X2, log_lengthscales, log_sigma_n, sigma_n_num, with_noise)
+    return rbf_kernel(
+        X1, X2, log_lengthscales, log_sigma_n, sigma_n_num, with_noise, precision
+    )
 
 
 def x_kernel(
@@ -95,10 +106,13 @@ def x_kernel(
     log_lin_coeff: jax.Array,
     sigma_n_num: float = 0.0,
     with_noise: bool = True,
+    precision=_PREC,
 ) -> jax.Array:
     """Dynamics kernel K_x = RBF + linear. Reference gpmdm.py:408-434."""
-    K = rbf_kernel(X1, X2, log_lengthscales, log_sigma_n, sigma_n_num, with_noise)
-    return K + linear_kernel(X1, X2, log_lin_coeff)
+    K = rbf_kernel(
+        X1, X2, log_lengthscales, log_sigma_n, sigma_n_num, with_noise, precision
+    )
+    return K + linear_kernel(X1, X2, log_lin_coeff, precision)
 
 
 def y_diag_kernel(
