@@ -194,9 +194,42 @@ def pf_step(
         xin = state.x
     else:
         xin = jnp.concatenate([state.x, state.x_prev], axis=1)
-    means, variances = predict_x_all_classes(
-        post, params, xin, cfg, precision=pf_cfg.lax_precision
-    )  # (C, P, d)
+    use_pallas = pf_cfg.pallas == "on" or (
+        pf_cfg.pallas == "auto"
+        and isinstance(post, core.Posterior)
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas and isinstance(post, core.Posterior):
+        from ..ops import kernels as _K
+        from ..ops.pallas.gp_posterior import fused_x_posterior
+
+        inv_ls = jnp.exp(-params.x_log_lengthscales)
+        lin_w = jnp.exp(params.x_log_lin_coeff)
+        diag_star = _K.x_diag_kernel(
+            xin, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, False
+        )  # (P,)
+        m_list, v_list = [], []
+        for ci in range(post.Xin_c.shape[0]):  # static unroll; C is small
+            mean_ci, quad_ci = fused_x_posterior(
+                post.Xin_c[ci],
+                xin,
+                post.Axc[ci],
+                post.Kxc_inv[ci],
+                inv_ls,
+                lin_w,
+                n_valid=post.Xin_c.shape[1],
+            )
+            var_common = diag_star - quad_ci
+            m_list.append(mean_ci)
+            v_list.append(
+                var_common[:, None] * jnp.exp(params.x_log_lambdas)[None, :] ** -2
+            )
+        means = jnp.stack(m_list)  # (C, P, d)
+        variances = jnp.stack(v_list)
+    else:
+        means, variances = predict_x_all_classes(
+            post, params, xin, cfg, precision=pf_cfg.lax_precision
+        )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
     eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)

@@ -1,28 +1,34 @@
-"""Pallas TPU kernel: fused GP posterior (RBF star kernel -> mean + variance
+"""Pallas TPU kernels: fused GP posterior (star kernel -> mean + variance
 quad term) without materializing intermediates in HBM.
 
-The particle filter's per-frame cost is dominated by the observation-GP
-posterior over all particles (core.predict_y):
+The particle filter's per-frame cost is dominated by GP posteriors over all
+particles (core.predict_y / predict_x_all_classes):
 
-    Kstar = exp(-wsqdist(X, Xstar))        # (N, P)   ~N*P*4B in HBM
-    mean  = Kstar^T @ Ay                   # (P, D)
+    Kstar = k(Xtrain, Xstar)               # (N, P)   ~N*P*4B in HBM
+    mean  = Kstar^T @ A                    # (P, Dout)
     KiK   = Kinv @ Kstar                   # (N, P)   another N*P*4B
     quad  = sum(Kstar * KiK, axis=0)       # (P,)
     var   = kdiag - quad
 
-XLA materializes Kstar and KiK in HBM (~2 * N * P * 4 bytes per frame; at
-N=480, P=10k that is ~38 MB each frame each way).  This kernel keeps the
-whole pipeline in VMEM per particle tile: compute the Kstar tile once,
-immediately contract it against Ay and against Kinv row-tiles, and emit only
-the (P, D) mean and (P,) quad.
+XLA materializes Kstar and KiK in HBM (at N=480, P=10k that is ~19 MB each,
+per frame, each way).  These kernels keep the whole pipeline in VMEM per
+particle tile: compute the Kstar tile once, immediately contract it against
+A and against Kinv row-tiles, and emit only the (P, Dout) mean and (P,)
+quad.
+
+Two entry points share one kernel body:
+
+- :func:`fused_rbf_posterior` — observation GP (unit-variance RBF,
+  reference kernel at gpmdm.py:436-517),
+- :func:`fused_x_posterior` — dynamics GP (RBF + homogeneous linear kernel,
+  gpmdm.py:408-434) for one class block, with row masking for the padded
+  class layout; callers unroll the (small) class axis.
 
 Grid: (P // TP, N // TN).  For each particle tile, the first N-step computes
-the full (N, TP) Kstar tile into VMEM scratch and the mean; subsequent
-N-steps stream (TN, N) row-tiles of Kinv and accumulate the quad.
-
-Shapes are padded to multiples of the tile sizes by the wrapper; padded
-training rows carry +inf squared distance (Kstar exactly 0), so padding is
-exact.  f32 throughout with MXU accumulation in f32.
+the full (Npad, TP) Kstar tile into VMEM scratch and the mean; subsequent
+N-steps stream (TN, Npad) row-tiles of Kinv and accumulate the quad.
+Padding is exact: padded training rows are masked to zero in the star
+kernel (iota < n_valid), padded feature columns are zero.
 """
 
 from __future__ import annotations
@@ -40,16 +46,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(xs_ref, xt_ref, ay_ref, kinv_ref, mean_ref, quad_ref, kstar_ref):
+def _kernel(
+    bias_ref,
+    xs_ref,
+    xt_ref,
+    ls_ref,
+    lt_ref,
+    ay_ref,
+    kinv_ref,
+    mean_ref,
+    quad_ref,
+    kstar_ref,
+    *,
+    n_valid: int,
+    n_dims: int,
+    has_linear: bool,
+):
     """One (particle-tile, kinv-row-tile) grid step.
 
-    xs_ref:   (TP, dpad)  particle tile (pre-scaled by 1/lengthscale)
-    xt_ref:   (Npad, dpad) training latents (pre-scaled), full
+    bias_ref: (1, 1) SMEM linear-kernel bias (ignored unless has_linear)
+    xs_ref:   (TP, dpad)   particle tile, pre-scaled by 1/lengthscale
+    xt_ref:   (Npad, dpad) training inputs, pre-scaled, full
+    ls_ref:   (TP, dpad)   particle linear features (pre-scaled by exp(c))
+    lt_ref:   (Npad, dpad) training linear features
     ay_ref:   (Npad, Dpad) predictive weights, full
-    kinv_ref: (TN, Npad)  row tile of Kinv
-    mean_ref: (TP, Dpad)  out
-    quad_ref: (TP, 128)   out (quad broadcast into lane dim; col 0 is real)
-    kstar_ref:(Npad, TP)  VMEM scratch holding this particle tile's Kstar
+    kinv_ref: (TN, Npad)   row tile of Kinv
+    mean_ref: (TP, Dpad)   out
+    quad_ref: (TP, 128)    out (quad broadcast into lanes; col 0 is real)
+    kstar_ref:(Npad, TP)   VMEM scratch holding this particle tile's Kstar
     """
     j = pl.program_id(1)
 
@@ -57,14 +81,26 @@ def _kernel(xs_ref, xt_ref, ay_ref, kinv_ref, mean_ref, quad_ref, kstar_ref):
     def _first():
         xs = xs_ref[:]  # (TP, dpad)
         xt = xt_ref[:]  # (Npad, dpad)
-        # weighted squared distances via the norm expansion; inputs are
-        # pre-scaled so this is a plain sqdist.
-        xs2 = jnp.sum(xs * xs, axis=1)[None, :]  # (1, TP)
-        xt2 = jnp.sum(xt * xt, axis=1)[:, None]  # (Npad, 1)
-        cross = jax.lax.dot_general(
-            xt, xs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Npad, TP)
-        ks = jnp.exp(2.0 * cross - xs2 - xt2)  # exp(-|a-b|^2)
+        # squared distance by direct per-dimension differences: the latent
+        # dimension is tiny (d <= ~8), so this is a handful of VPU passes
+        # and avoids the catastrophic cancellation of the norm-expansion
+        # (|a|^2+|b|^2-2ab) that wrecks the variance term in f32.
+        Npad, TP = xt.shape[0], xs.shape[0]
+        sq = jnp.zeros((Npad, TP), dtype=jnp.float32)
+        for k in range(n_dims):  # static unroll
+            diff = xt[:, k][:, None] - xs[:, k][None, :]
+            sq = sq + diff * diff
+        ks = jnp.exp(-sq)
+        if has_linear:
+            lin = jax.lax.dot_general(
+                lt_ref[:], ls_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ks = ks + lin + bias_ref[0, 0]
+        # zero padded training rows (exact masked star kernel)
+        Npad = ks.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
+        ks = jnp.where(row_ids < n_valid, ks, 0.0)
         kstar_ref[:] = ks
         mean_ref[:] = jax.lax.dot_general(
             ks, ay_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -84,47 +120,39 @@ def _kernel(xs_ref, xt_ref, ay_ref, kinv_ref, mean_ref, quad_ref, kstar_ref):
     quad_ref[:] += contrib[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
-def fused_rbf_posterior(
-    Xtrain: jax.Array,
-    Xstar: jax.Array,
-    Ay: jax.Array,
-    Kinv: jax.Array,
-    inv_lengthscales: jax.Array,
-    tile_p: int = 512,
-    tile_n: int = 256,
+def _fused_posterior(
+    xt, xs, lt, ls, bias, Ay, Kinv, n_valid: int, has_linear: bool,
+    tile_p: int, tile_n: int,
 ):
-    """Fused RBF-GP posterior: returns (mean (P, D), quad (P,)).
-
-    mean = Kstar^T Ay,  quad = sum(Kstar * (Kinv Kstar), 0) with
-    Kstar = exp(-sum_k ((xt-xs)/l)^2).  Equivalent to the unfused XLA path
-    in core.predict_y (tested); var = kdiag - quad is applied by the caller.
-    """
-    N, d = Xtrain.shape
-    P = Xstar.shape[0]
-    D = Ay.shape[1]
+    """Shared padded pallas_call wrapper.  All feature inputs pre-scaled."""
+    N, P, D = xt.shape[0], xs.shape[0], Ay.shape[1]
+    d = xt.shape[1]
     f32 = jnp.float32
 
-    Npad = _round_up(N, max(tile_n, 128))
-    Ppad = _round_up(P, tile_p)
-    Dpad = _round_up(D, 128)
-    dpad = _round_up(d, 128)
+    Npad = _round_up(max(N, 1), max(tile_n, 128))
+    Ppad = _round_up(max(P, 1), tile_p)
+    Dpad = _round_up(max(D, 1), 128)
+    dpad = _round_up(max(d, 1), 128)
 
-    xt = (Xtrain * inv_lengthscales).astype(f32)
-    xs = (Xstar * inv_lengthscales).astype(f32)
-    # pad training rows far away -> Kstar exactly 0 there (exp(-big)).
-    xt = jnp.pad(xt, ((0, Npad - N), (0, dpad - d)))
-    if Npad > N:
-        xt = xt.at[N:, 0].set(1e6)
-    xs = jnp.pad(xs, ((0, Ppad - P), (0, dpad - d)))
+    xt = jnp.pad(xt.astype(f32), ((0, Npad - N), (0, dpad - d)))
+    xs = jnp.pad(xs.astype(f32), ((0, Ppad - P), (0, dpad - d)))
+    lt = jnp.pad(lt.astype(f32), ((0, Npad - N), (0, dpad - d)))
+    ls = jnp.pad(ls.astype(f32), ((0, Ppad - P), (0, dpad - d)))
     ay = jnp.pad(Ay.astype(f32), ((0, Npad - N), (0, Dpad - D)))
     kinv = jnp.pad(Kinv.astype(f32), ((0, Npad - N), (0, Npad - N)))
+    bias2d = jnp.asarray(bias, dtype=f32).reshape(1, 1)
 
     grid = (Ppad // tile_p, Npad // tile_n)
+    kernel = functools.partial(
+        _kernel, n_valid=n_valid, n_dims=d, has_linear=has_linear
+    )
     mean, quad = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_p, dpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Npad, dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, dpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Npad, dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Npad, Dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -139,5 +167,66 @@ def fused_rbf_posterior(
             jax.ShapeDtypeStruct((Ppad, 128), f32),
         ],
         scratch_shapes=[pltpu.VMEM((Npad, tile_p), f32)],
-    )(xs, xt, ay, kinv)
+    )(bias2d, xs, xt, ls, lt, ay, kinv)
     return mean[:P, :D], quad[:P, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
+def fused_rbf_posterior(
+    Xtrain: jax.Array,
+    Xstar: jax.Array,
+    Ay: jax.Array,
+    Kinv: jax.Array,
+    inv_lengthscales: jax.Array,
+    tile_p: int = 512,
+    tile_n: int = 256,
+):
+    """Fused observation-GP posterior: (mean (P, D), quad (P,)).
+
+    mean = Kstar^T Ay,  quad = sum(Kstar * (Kinv Kstar), 0) with
+    Kstar = exp(-sum_k ((xt-xs)/l)^2).  Equivalent to the unfused XLA path
+    in core.predict_y (tested); var = kdiag - quad is applied by the caller.
+    """
+    xt = Xtrain * inv_lengthscales
+    xs = Xstar * inv_lengthscales
+    zeros_t = jnp.zeros_like(xt)
+    zeros_s = jnp.zeros_like(xs)
+    return _fused_posterior(
+        xt, xs, zeros_t, zeros_s, 0.0, Ay, Kinv,
+        n_valid=Xtrain.shape[0], has_linear=False,
+        tile_p=tile_p, tile_n=tile_n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "tile_p", "tile_n"))
+def fused_x_posterior(
+    Xin_c: jax.Array,
+    Xstar: jax.Array,
+    Axc: jax.Array,
+    Kxc_inv: jax.Array,
+    inv_lengthscales: jax.Array,
+    lin_w: jax.Array,
+    n_valid: int,
+    tile_p: int = 512,
+    tile_n: int = 256,
+):
+    """Fused dynamics-GP posterior for ONE class block: (mean (P, d),
+    quad (P,)).
+
+    Star kernel = RBF + homogeneous linear ([x,1] diag(w^2) [x',1]^T,
+    reference gpmdm.py:520-548); ``lin_w = exp(x_log_lin_coeff)`` with the
+    last entry the bias weight.  Rows >= n_valid (class padding) are exactly
+    zero.  Callers unroll the small class axis.
+    """
+    xt = Xin_c * inv_lengthscales
+    xs = Xstar * inv_lengthscales
+    lt = Xin_c * lin_w[:-1]
+    ls = Xstar * lin_w[:-1]
+    bias = lin_w[-1] ** 2
+    # linear features: lin = sum_k (w_k x_k)(w_k x'_k) needs both sides
+    # scaled by w, i.e. lt@ls^T = sum w_k^2 x x'.
+    return _fused_posterior(
+        xt, xs, lt, ls, bias, Axc, Kxc_inv,
+        n_valid=n_valid, has_linear=True,
+        tile_p=tile_p, tile_n=tile_n,
+    )
