@@ -1,0 +1,46 @@
+"""Model inspection — script form of the reference's
+``notebooks/load_gpmdm.ipynb``: load a checkpoint and plot the per-class
+latent embeddings.
+
+Usage: python examples/load_gpmdm.py models/gpmdm.npz [--save latent.png]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gpmdm_tpu import GPMDM
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("--save", default=None)
+    args = ap.parse_args()
+
+    model = GPMDM.load(args.ckpt)
+    print(f"{type(model).__name__}: D={model.D} d={model.d} classes={model.n_classes}")
+    print(f"loss: {model.gpdm_loss():.4e}")
+    for c in range(model.n_classes):
+        print(f"class {c}: {model.get_X_for_class(c).shape[0]} latent points")
+
+    import matplotlib
+
+    if args.save:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gpmdm_tpu.viz import plot_latent_space
+
+    plot_latent_space(model)
+    if args.save:
+        plt.savefig(args.save, dpi=120)
+        print(f"wrote {args.save}")
+    else:
+        plt.show()
+
+
+if __name__ == "__main__":
+    main()

@@ -268,11 +268,23 @@ def pf_step(
         )  # (P, D)
     var_y = jnp.maximum(var_y, 1e-12)
     log_lik = observation_log_lik(z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet)
+    # Dead-particle guard: a particle that diverged off the manifold (the
+    # linear dynamics kernel extrapolates, so |x| can grow exponentially
+    # and overflow f32) gets likelihood zero instead of poisoning the
+    # normalization with NaN; resampling then replaces it with a clone of a
+    # live particle.
+    log_lik = jnp.where(jnp.isfinite(log_lik), log_lik, -jnp.inf)
     if pf_cfg.accumulate_weights:
         log_w = log_lik + state.log_w
     else:
         log_w = log_lik
-    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    lse = jax.scipy.special.logsumexp(log_w)
+    # catastrophic-degeneracy fallback: if EVERY particle died this frame
+    # (all -inf likelihoods), normalization would be NaN; fall back to
+    # uniform weights so the filter survives and can re-lock.
+    log_w = jnp.where(
+        jnp.isfinite(lse), log_w - lse, jnp.full_like(log_w, -jnp.log(float(P)))
+    )
 
     # Readouts BEFORE resampling (reference computes them from the
     # post-update, pre-resample weights).
@@ -280,7 +292,10 @@ def pf_step(
     # class posterior: sum over particles of exp(log_lik + log_w), per class
     # (reference class_probabilities, gpmdm_pf.py:224-248).
     lw = log_lik + log_w
-    lw = lw - jnp.max(lw)
+    lw_max = jnp.max(lw)
+    # all-dead fallback: with every lw == -inf the shift would be NaN; use
+    # zeros (uniform scores) instead.
+    lw = jnp.where(jnp.isfinite(lw_max), lw - lw_max, jnp.zeros_like(lw))
     onehot = jax.nn.one_hot(c, log_T.shape[0], dtype=w.dtype)  # (P, C)
     class_scores = jnp.matmul(jnp.exp(lw)[None, :], onehot, precision=_PREC)[0]
     class_probs = class_scores / jnp.sum(class_scores)
@@ -288,7 +303,10 @@ def pf_step(
     # like the reference (_weighted_sum_from_log_space, gpmdm_pf.py:302-312,
     # which never adds the subtracted max back).
     log_likelihood = jnp.log(jnp.sum(jnp.exp(lw)))
-    state_mean = jnp.sum(x_new * w[:, None], axis=0)
+    # dead particles carry w == 0 but may hold inf/NaN states; 0 * inf is
+    # NaN, so zero their states in the weighted mean explicitly.
+    x_safe = jnp.where(jnp.isfinite(x_new), x_new, 0.0)
+    state_mean = jnp.sum(x_safe * w[:, None], axis=0)
     outputs = PFOutputs(
         class_probs=class_probs,
         log_likelihood=log_likelihood,

@@ -365,6 +365,9 @@ def predict_y(
     diag_common = K.y_diag_kernel(
         Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise
     ) - jnp.sum(Kstar * KiK, axis=0)
+    # the subtraction can go slightly negative in f32 near training points;
+    # a negative predictive variance is never meaningful
+    diag_common = jnp.maximum(diag_common, 1e-9)
     var = diag_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
     return mean, var
 
@@ -384,9 +387,13 @@ def predict_x(
     )  # (Nx, N*)
     mean = jnp.matmul(Kstar.T, post.Ax, precision=_PREC)
     KiK = jnp.matmul(post.Kx_inv, Kstar, precision=_PREC)
-    diag_common = K.x_diag_kernel(
-        Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
-    ) - jnp.sum(Kstar * KiK, axis=0)
+    diag_common = jnp.maximum(
+        K.x_diag_kernel(
+            Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
+        )
+        - jnp.sum(Kstar * KiK, axis=0),
+        1e-9,
+    )
     var = diag_common[:, None] * jnp.exp(params.x_log_lambdas)[None, :] ** -2
     return mean, var
 
@@ -427,7 +434,9 @@ def predict_x_all_classes(
     diag_star = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )  # (N*,)
-    diag_common = diag_star[None, :] - jnp.sum(kst * KiK, axis=1)  # (C, N*)
+    diag_common = jnp.maximum(
+        diag_star[None, :] - jnp.sum(kst * KiK, axis=1), 1e-9
+    )  # (C, N*)
     var = diag_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
     return mean, var
 

@@ -341,6 +341,82 @@ class GPMDM:
             key=key,
         )
 
+    # ------------------------------------------------- reference API parity
+
+    def get_M(self) -> np.ndarray:
+        """Dense class-block mask M over dynamics pairs (reference get_M,
+        gpmdm.py:311-340).  The compute path never materializes this — the
+        class-major layout makes ``K_x * M`` block diagonal (see
+        ops/layout.py); provided for inspection/parity."""
+        from ..ops.layout import class_block_mask
+
+        self._require_init()
+        return class_block_mask(self.layout, dtype=self.config.np_dtype)
+
+    def get_M_for_class(self, class_index: int) -> np.ndarray:
+        """Single-class block mask (reference get_M_for_class,
+        gpmdm.py:342-378)."""
+        self._require_init()
+        pc = self.layout.pair_class
+        sel = (pc == class_index)
+        return (sel[:, None] & sel[None, :]).astype(self.config.np_dtype)
+
+    def get_Xin_Xout_matrices(self):
+        """Dynamics regression matrices (Xin, Xout) plus per-sequence start
+        indices (reference get_Xin_Xout_matrices, gpmdm.py:630-718)."""
+        from ..ops.layout import xin_xout
+
+        self._require_init()
+        Xin, Xout = xin_xout(self.params.X, self.layout, self.config.dyn_target)
+        starts = []
+        acc = 0
+        for length in self.layout.seq_lengths:
+            starts.append(acc)
+            acc += length - self.layout.back_step
+        return Xin, Xout, starts
+
+    def get_y_kernel(self, X1, X2, flg_noise: bool = True):
+        """Observation kernel matrix (reference get_y_kernel,
+        gpmdm.py:381-406)."""
+        from ..ops import kernels as K
+
+        p = self.params
+        return K.y_kernel(
+            jnp.asarray(X1, self.dtype),
+            jnp.asarray(X2, self.dtype),
+            p.y_log_lengthscales,
+            p.y_log_sigma_n,
+            self.config.sigma_n_num_Y,
+            with_noise=flg_noise,
+        )
+
+    def get_x_kernel(self, X1, X2, flg_noise: bool = True):
+        """Dynamics kernel matrix (reference get_x_kernel,
+        gpmdm.py:408-434)."""
+        from ..ops import kernels as K
+
+        p = self.params
+        return K.x_kernel(
+            jnp.asarray(X1, self.dtype),
+            jnp.asarray(X2, self.dtype),
+            p.x_log_lengthscales,
+            p.x_log_sigma_n,
+            p.x_log_lin_coeff,
+            self.config.sigma_n_num_X,
+            with_noise=flg_noise,
+        )
+
+    def get_y_neg_log_likelihood(self) -> float:
+        """Observation-map NLL L_y (reference gpmdm.py:550-589)."""
+        self._require_init()
+        Y = jnp.asarray(self.get_Y(), dtype=self.dtype)
+        return float(core.y_neg_log_likelihood(self.params, Y, self.config))
+
+    def get_x_neg_log_likelihood(self) -> float:
+        """Dynamics-map NLL L_x (reference gpmdm.py:591-628)."""
+        self._require_init()
+        return float(core.x_neg_log_likelihood(self.params, self.config, self.layout))
+
     # ---------------------------------------------------------- inspection
 
     def get_latent_sequences(self) -> List[np.ndarray]:

@@ -188,3 +188,40 @@ def test_nmse_diagnostics_finite(rng):
     # floored variant is <= true variant + 1 and integral contribution
     vf = core.latent_map_nmse(post, params, cfg, params.X, jnp.asarray(Y), floored=True)
     assert float(vf) <= float(v)
+
+
+def test_reference_api_parity_methods():
+    """get_M / get_M_for_class / get_Xin_Xout_matrices / kernel getters /
+    per-map NLLs (reference gpmdm.py:311-718) behave consistently."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import GPMDM
+    from gpmdm_tpu.data import synthetic
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=12, D=5, seed=9
+    )
+    m = GPMDM(D=5, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+
+    M = m.get_M()
+    Nx = m.layout.Nx
+    assert M.shape == (Nx, Nx)
+    # block diagonal of ones, sum of per-class masks equals M
+    M0, M1 = m.get_M_for_class(0), m.get_M_for_class(1)
+    np.testing.assert_array_equal(M0 + M1, M)
+    # Xin/Xout shapes + starts
+    Xin, Xout, starts = m.get_Xin_Xout_matrices()
+    assert Xin.shape == (Nx, 2) and Xout.shape == (Nx, 2)
+    assert starts[0] == 0 and len(starts) == 4
+    # masked-Gram NLL identity: L = L_y + L_x
+    total = m.gpdm_loss()
+    np.testing.assert_allclose(
+        total, m.get_y_neg_log_likelihood() + m.get_x_neg_log_likelihood(), rtol=1e-12
+    )
+    # kernel getters: diagonal of y kernel with noise = 1 + sigma^2
+    Ky = np.asarray(m.get_y_kernel(m.params.X[:4], m.params.X[:4]))
+    sigma2 = float(jnp.exp(m.params.y_log_sigma_n)) ** 2
+    np.testing.assert_allclose(np.diag(Ky), 1 + sigma2, rtol=1e-10)

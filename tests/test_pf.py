@@ -185,3 +185,48 @@ def test_reference_compat_flags(trained_model):
     )
     outs = flt.run(test_seqs[0][:5])
     assert np.isfinite(np.asarray(outs.class_probs)).all()
+
+
+def test_dead_particle_guard(trained_model):
+    """A particle with a non-finite state must get zero weight (not poison
+    the normalization with NaN) and be replaced at resampling."""
+    m, test_seqs, _ = trained_model
+    pfc = PFConfig(num_particles=20)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]]))
+    s = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc)
+    # poison particle 0
+    s = pf.PFState(
+        x=s.x.at[0].set(jnp.inf),
+        x_prev=s.x_prev,
+        c=s.c,
+        log_w=s.log_w,
+        log_lik=s.log_lik,
+        key=s.key,
+    )
+    z = jnp.asarray(test_seqs[0][0], dtype=jnp.float64)
+    s2, out = pf.pf_step(s, z, m.posterior, m.params, log_T, m.config, pfc)
+    assert np.isfinite(np.asarray(out.class_probs)).all()
+    assert np.isfinite(np.asarray(out.state_mean)).all()
+    # resampled states are all finite again (dead particle replaced)
+    assert np.isfinite(np.asarray(s2.x)).all()
+
+
+def test_all_dead_particles_fallback(trained_model):
+    """If every particle dies in one frame (all non-finite states), the
+    filter must fall back to uniform weights instead of emitting NaN."""
+    m, test_seqs, _ = trained_model
+    pfc = PFConfig(num_particles=12)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]]))
+    s = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc)
+    s = pf.PFState(
+        x=jnp.full_like(s.x, jnp.inf),
+        x_prev=s.x_prev,
+        c=s.c,
+        log_w=s.log_w,
+        log_lik=s.log_lik,
+        key=s.key,
+    )
+    z = jnp.asarray(test_seqs[0][0], dtype=jnp.float64)
+    s2, out = pf.pf_step(s, z, m.posterior, m.params, log_T, m.config, pfc)
+    assert np.isfinite(np.asarray(out.class_probs)).all()
+    assert np.isfinite(np.asarray(s2.log_w)).all()
