@@ -76,3 +76,37 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert "a:" in t.summary()
+
+
+def test_metric_logger(tmp_path):
+    from gpmdm_tpu.utils.logging import MetricLogger
+
+    p = tmp_path / "metrics.jsonl"
+    log = MetricLogger(stream=None, jsonl_path=str(p))
+    log.log(step=0, loss=10.0)
+    log.log(step=1, loss=5.0, fps=100.0)
+    steps, vals = log.series("loss")
+    np.testing.assert_array_equal(steps, [0, 1])
+    np.testing.assert_allclose(vals, [10.0, 5.0])
+    assert log.last("fps") == 100.0
+    import json
+
+    lines = [json.loads(l) for l in p.read_text().splitlines()]
+    assert lines[1]["fps"] == 100.0
+    assert "loss: 2 points" in log.summary()
+
+
+def test_checkify_loss_clean_and_dirty():
+    import jax.numpy as jnp
+    import pytest
+
+    from gpmdm_tpu.utils.debug import check_loss
+
+    m = small_model()
+    assert np.isfinite(check_loss(m))
+    # poison a hyperparameter -> checkify reports instead of silent NaN
+    import dataclasses as dc
+
+    m.params = dc.replace(m.params, y_log_sigma_n=jnp.asarray(jnp.nan))
+    with pytest.raises(Exception):
+        check_loss(m)
