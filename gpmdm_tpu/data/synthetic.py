@@ -22,16 +22,24 @@ def make_cycle(
     noise: float = 0.02,
     phase: float = 0.0,
     rng: np.random.Generator | None = None,
+    center_spread: float = 0.0,
 ) -> np.ndarray:
     """One sequence of a noisy class-specific limit cycle, shape (n_frames, D)."""
     if rng is None:
         rng = np.random.default_rng(0)
     freq = 1.0 + 0.7 * class_index  # class-specific angular frequency
     wobble = 0.3 * class_index  # class-specific radius modulation
+    # optional class-specific cycle center (golden-angle ring placement) so
+    # many-class configs are separable in space as well as dynamics — like
+    # distinct gait poses.  Default 0 keeps the classic overlapping-cycles
+    # task (classes differ only in speed/wobble).
+    center = center_spread * np.array(
+        [np.cos(2.39996 * class_index), np.sin(2.39996 * class_index)]
+    ) * (class_index > 0)
     t = np.arange(n_frames) * 0.12
     theta = freq * t + phase
     r = 1.0 + wobble * np.sin(3.0 * theta)
-    z = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)  # (n, 2)
+    z = center + np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)  # (n, 2)
 
     # Fixed per-(class-agnostic) lift: shared observation map across classes,
     # like the shared latent->observation GP in the model.
@@ -51,6 +59,7 @@ def make_dataset(
     D: int = 12,
     noise: float = 0.02,
     seed: int = 0,
+    center_spread: float = 0.0,
 ):
     """Build (train_seqs, train_labels, test_seqs, test_labels).
 
@@ -62,13 +71,17 @@ def make_dataset(
     for c in range(n_classes):
         for i in range(n_train_seqs):
             phase = rng.uniform(0, 2 * np.pi)
-            train_seqs.append(make_cycle(seq_len, c, D, noise, phase, rng))
+            train_seqs.append(
+                make_cycle(seq_len, c, D, noise, phase, rng, center_spread)
+            )
             train_labels.append(c)
     test_seqs, test_labels = [], []
     for c in range(n_classes):
         for i in range(n_test_seqs):
             phase = rng.uniform(0, 2 * np.pi)
-            test_seqs.append(make_cycle(seq_len, c, D, noise, phase, rng))
+            test_seqs.append(
+                make_cycle(seq_len, c, D, noise, phase, rng, center_spread)
+            )
             test_labels.append(c)
     order = rng.permutation(len(test_seqs))
     test_seqs = [test_seqs[i] for i in order]

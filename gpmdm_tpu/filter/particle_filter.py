@@ -131,9 +131,13 @@ def pf_init(
 
 
 def _select_by_class(per_class: jax.Array, c: jax.Array) -> jax.Array:
-    """Select per-particle rows from a (C, P, d) array by class index -> (P, d)."""
-    pc = jnp.swapaxes(per_class, 0, 1)  # (P, C, d)
-    return jnp.take_along_axis(pc, c[:, None, None], axis=1)[:, 0, :]
+    """Select per-particle rows from a (C, P, d) array by class index -> (P, d).
+
+    One-hot contraction instead of take_along_axis: C is tiny, and TPU runs
+    the dense multiply-reduce on the VPU far faster than a per-row dynamic
+    gather."""
+    onehot = jax.nn.one_hot(c, per_class.shape[0], dtype=per_class.dtype)  # (P, C)
+    return jnp.einsum("cpd,pc->pd", per_class, onehot)
 
 
 def observation_log_lik(
@@ -156,7 +160,12 @@ def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
     cum = jnp.cumsum(w)
     u = jax.random.uniform(key, (), dtype=w.dtype)
     positions = (u + jnp.arange(P, dtype=w.dtype)) / P
-    return jnp.clip(jnp.searchsorted(cum, positions), 0, P - 1).astype(jnp.int32)
+    # method='sort' lowers to one merge-sort instead of log2(P) rounds of
+    # dynamic gathers — the default binary-search lowering dominated the
+    # whole PF step on TPU (measured ~1.1 ms/frame at P=10k; see
+    # ARCHITECTURE.md).
+    idx = jnp.searchsorted(cum, positions, method="sort")
+    return jnp.clip(idx, 0, P - 1).astype(jnp.int32)
 
 
 def multinomial_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
@@ -314,15 +323,23 @@ def pf_step(
         most_likely_class=jnp.argmax(class_probs).astype(jnp.int32),
     )
 
-    # 4. Resampling (reference gpmdm_pf.py:206-213).
+    # 4. Resampling (reference gpmdm_pf.py:206-213).  Row gathers are the
+    #    single most expensive op of the whole step on TPU (~0.2 ms each at
+    #    P=10k), so gather x / x_prev / c through ONE packed array instead
+    #    of three separate gathers.
     if pf_cfg.resampling == "systematic":
         idx = systematic_resample_indices(k_res, log_w)
     else:
         idx = multinomial_resample_indices(k_res, log_w)
+    d = x_new.shape[1]
+    packed = jnp.concatenate(
+        [x_new, state.x, c.astype(x_new.dtype)[:, None]], axis=1
+    )  # (P, 2d+1)
+    packed_r = packed[idx]
     new_state = PFState(
-        x=x_new[idx],
-        x_prev=state.x[idx],
-        c=c[idx],
+        x=packed_r[:, :d],
+        x_prev=packed_r[:, d : 2 * d],
+        c=packed_r[:, 2 * d].astype(jnp.int32),
         log_w=jnp.full((P,), -jnp.log(float(P)), dtype=log_w.dtype),
         log_lik=log_lik,
         key=key,
