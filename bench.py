@@ -41,8 +41,10 @@ def main() -> None:
     from gpmdm_tpu.data import synthetic
     from gpmdm_tpu.filter import particle_filter as pf
 
+    import os
+
     t_setup = time.perf_counter()
-    train_seqs, train_labels, test_seqs, _ = synthetic.make_dataset(
+    _, _, test_seqs, _ = synthetic.make_dataset(
         n_classes=N_CLASSES,
         n_train_seqs=TRAIN_SEQS_PER_CLASS,
         n_test_seqs=1,
@@ -50,11 +52,30 @@ def main() -> None:
         D=D,
         seed=0,
     )
-    m = GPMDM(D=D, d=d, n_classes=N_CLASSES, dtype="float32")
-    for Y, c in zip(train_seqs, train_labels):
-        m.add_data(Y, c)
-    m.init_X()
-    m.train_adam(num_opt_steps=30, lr=0.01)  # light training: realistic posterior
+    # Load the committed pre-trained checkpoint: PF numerics on an
+    # UNTRAINED model are degenerate (mostly dead particles, inf-laden
+    # weights) and measured 25x slower on TPU — the bench must use
+    # realistic posterior values.  Training here would cost ~7-25 min of
+    # tunnel compile per run (the remote session id defeats the persistent
+    # compile cache), so the checkpoint is trained offline
+    # (bench_assets/README) and committed.
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_assets", "bench_model.npz")
+    if os.path.exists(ckpt):
+        m = GPMDM.load(ckpt)
+    else:  # fallback: train from scratch
+        train_seqs, train_labels, _, _ = synthetic.make_dataset(
+            n_classes=N_CLASSES, n_train_seqs=TRAIN_SEQS_PER_CLASS,
+            n_test_seqs=1, seq_len=SEQ_LEN, D=D, seed=0,
+        )
+        m = GPMDM(
+            D=D, d=d, n_classes=N_CLASSES, dtype="float32",
+            y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+        )
+        for Y, c in zip(train_seqs, train_labels):
+            m.add_data(Y, c)
+        m.init_X()
+        m.train_adam(num_opt_steps=60, lr=0.01)
 
     pfc = PFConfig(num_particles=N_PARTICLES)
     cfg = m.config

@@ -51,6 +51,21 @@ _LOG_2PI = math.log(2.0 * math.pi)
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _use_pallas(post, pf_cfg) -> bool:
+    """Fused-kernel policy: 'on' forces it; 'auto' enables it on TPU for the
+    exact posterior once the training-set axis is large enough that keeping
+    the (N, P) star-kernel out of HBM beats XLA's unfused pipeline
+    (measured crossover ~1k rows at P=10k on v5e; below that XLA wins)."""
+    if pf_cfg.pallas == "on":
+        return True
+    return (
+        pf_cfg.pallas == "auto"
+        and isinstance(post, core.Posterior)
+        and jax.default_backend() == "tpu"
+        and post.X.shape[0] >= 1024
+    )
+
+
 def _predictors(post):
     """Posterior-backend dispatch: the filter runs unchanged on the exact GP
     posterior (core.Posterior) or the sparse SGPR posterior
@@ -133,11 +148,14 @@ def pf_init(
 def _select_by_class(per_class: jax.Array, c: jax.Array) -> jax.Array:
     """Select per-particle rows from a (C, P, d) array by class index -> (P, d).
 
-    One-hot contraction instead of take_along_axis: C is tiny, and TPU runs
-    the dense multiply-reduce on the VPU far faster than a per-row dynamic
-    gather."""
+    One-hot broadcast-multiply-reduce instead of take_along_axis: C is
+    tiny, and TPU runs the dense elementwise+sum on the VPU far faster than
+    a per-row dynamic gather.  (Written as an explicit broadcast, NOT an
+    einsum with p as a batch axis — that can lower to P tiny batched
+    matmuls.)"""
     onehot = jax.nn.one_hot(c, per_class.shape[0], dtype=per_class.dtype)  # (P, C)
-    return jnp.einsum("cpd,pc->pd", per_class, onehot)
+    sel = per_class * onehot.T[:, :, None]  # (C, P, d)
+    return jnp.sum(sel, axis=0)
 
 
 def observation_log_lik(
@@ -203,11 +221,7 @@ def pf_step(
         xin = state.x
     else:
         xin = jnp.concatenate([state.x, state.x_prev], axis=1)
-    use_pallas = pf_cfg.pallas == "on" or (
-        pf_cfg.pallas == "auto"
-        and isinstance(post, core.Posterior)
-        and jax.default_backend() == "tpu"
-    )
+    use_pallas = _use_pallas(post, pf_cfg)
     if use_pallas and isinstance(post, core.Posterior):
         from ..ops import kernels as _K
         from ..ops.pallas.gp_posterior import fused_x_posterior
@@ -250,11 +264,6 @@ def pf_step(
     # 3. Observation weighting (reference gpmdm_pf.py:170-204).  On TPU with
     #    the exact posterior, the star kernel + mean + variance-quad pipeline
     #    runs as one fused Pallas kernel (no (N, P) intermediates in HBM).
-    use_pallas = pf_cfg.pallas == "on" or (
-        pf_cfg.pallas == "auto"
-        and isinstance(post, core.Posterior)
-        and jax.default_backend() == "tpu"
-    )
     if use_pallas and isinstance(post, core.Posterior):
         from ..ops.pallas.gp_posterior import fused_rbf_posterior
         from ..ops import kernels as _K
