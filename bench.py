@@ -107,6 +107,25 @@ def main() -> None:
     wall = (time.perf_counter() - t0) / reps
     fps = N_FRAMES / wall
 
+    # quality guard: stream held-out labeled trials with the same config —
+    # catches perf "wins" that silently destroy classification (e.g. bf16
+    # star kernels measured 2700 fps at chance-level accuracy).
+    from gpmdm_tpu import GPMDM_PF
+
+    _, _, q_seqs, q_labels = synthetic.make_dataset(
+        n_classes=N_CLASSES, n_train_seqs=TRAIN_SEQS_PER_CLASS,
+        n_test_seqs=6, seq_len=SEQ_LEN, D=D, seed=0,
+    )
+    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
+                   config=pfc, seed=0)
+    correct = total = 0
+    for Zq, label in zip(q_seqs, q_labels):
+        flt.reset()
+        pred = np.asarray(flt.run(np.asarray(Zq)).most_likely_class)
+        correct += (pred[5:] == label).sum()
+        total += len(pred) - 5
+    frame_acc = correct / total
+
     print(
         json.dumps(
             {
@@ -120,6 +139,7 @@ def main() -> None:
                 "d": d,
                 "n_train_frames": int(m.layout.Ny),
                 "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
+                "frame_acc": round(float(frame_acc), 4),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
                 "setup_s": round(time.perf_counter() - t_setup, 2),

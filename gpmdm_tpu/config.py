@@ -143,6 +143,12 @@ class PFConfig:
         training-grade).  The star-kernel/variance matmuls dominate the
         filter's TPU runtime; 'high' keeps weights accurate at a fraction
         of the 'highest' cost.
+    resample_threshold:
+        ESS-triggered resampling: resample only when the effective sample
+        size falls below ``threshold * P``.  1.0 (default) resamples every
+        frame like the reference (gpmdm_pf.py:206, which has no ESS
+        logic); < 1 requires ``accumulate_weights=True`` and skips the
+        (expensive) resampling gather on healthy frames.
     """
 
     num_particles: int = 100
@@ -151,6 +157,7 @@ class PFConfig:
     accumulate_weights: bool = False
     precision: str = "high"
     pallas: str = "auto"
+    resample_threshold: float = 1.0
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
@@ -161,6 +168,14 @@ class PFConfig:
             raise ValueError("precision must be 'default', 'high' or 'highest'")
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError("pallas must be 'auto', 'on' or 'off'")
+        if not (0.0 < self.resample_threshold <= 1.0):
+            raise ValueError("resample_threshold must be in (0, 1]")
+        if self.resample_threshold < 1.0 and not self.accumulate_weights:
+            raise ValueError(
+                "resample_threshold < 1 (ESS-triggered resampling) requires "
+                "accumulate_weights=True — skipped-resample frames must carry "
+                "their weights forward"
+            )
 
     @property
     def lax_precision(self):

@@ -335,21 +335,37 @@ def pf_step(
     # 4. Resampling (reference gpmdm_pf.py:206-213).  Row gathers are the
     #    single most expensive op of the whole step on TPU (~0.2 ms each at
     #    P=10k), so gather x / x_prev / c through ONE packed array instead
-    #    of three separate gathers.
-    if pf_cfg.resampling == "systematic":
-        idx = systematic_resample_indices(k_res, log_w)
-    else:
-        idx = multinomial_resample_indices(k_res, log_w)
+    #    of three separate gathers; with an ESS threshold the whole gather
+    #    runs under lax.cond and is skipped on healthy frames.
     d = x_new.shape[1]
     packed = jnp.concatenate(
         [x_new, state.x, c.astype(x_new.dtype)[:, None]], axis=1
     )  # (P, 2d+1)
-    packed_r = packed[idx]
+    uniform_log_w = jnp.full((P,), -jnp.log(float(P)), dtype=log_w.dtype)
+
+    def do_resample(operand):
+        packed, log_w, k = operand
+        if pf_cfg.resampling == "systematic":
+            idx = systematic_resample_indices(k, log_w)
+        else:
+            idx = multinomial_resample_indices(k, log_w)
+        return packed[idx], uniform_log_w
+
+    if pf_cfg.resample_threshold >= 1.0:
+        packed_r, new_log_w = do_resample((packed, log_w, k_res))
+    else:
+        ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-38)
+        packed_r, new_log_w = jax.lax.cond(
+            ess < pf_cfg.resample_threshold * P,
+            do_resample,
+            lambda operand: (operand[0], operand[1]),
+            (packed, log_w, k_res),
+        )
     new_state = PFState(
         x=packed_r[:, :d],
         x_prev=packed_r[:, d : 2 * d],
         c=packed_r[:, 2 * d].astype(jnp.int32),
-        log_w=jnp.full((P,), -jnp.log(float(P)), dtype=log_w.dtype),
+        log_w=new_log_w,
         log_lik=log_lik,
         key=key,
     )

@@ -341,6 +341,92 @@ def precompute(
     )
 
 
+def precompute_host(
+    params: GPMDMParams, Y, cfg: GPMDMConfig, layout: DataLayout
+) -> Posterior:
+    """Posterior precompute on the HOST in float64, cast to the model dtype.
+
+    Trained GPMDM Gram matrices routinely reach condition numbers ~1e7
+    (the linear dynamics kernel piles O(100) onto the diagonal while the
+    trained noise is ~1e-3): right at the f32 Cholesky cliff.  Observed on
+    TPU: the f32 factorization of a trained model's per-class dynamics
+    Gram goes NaN (while the same matrix squeaks through LAPACK on CPU).
+    The inverses are computed once per posterior refresh, so doing them in
+    f64 numpy costs nothing and makes the low-precision *deployment* of
+    the posterior stable — factor high, deploy low.
+
+    Numerically equivalent to :func:`precompute` (same math; f64
+    intermediate).
+    """
+    dt = np.dtype(cfg.np_dtype)
+
+    def f64(a):
+        return np.asarray(a, dtype=np.float64)
+
+    X = f64(params.X)
+    Y64 = f64(Y)
+    y_ls = np.exp(f64(params.y_log_lengthscales))
+    y_sn2 = float(np.exp(f64(params.y_log_sigma_n))) ** 2 + cfg.sigma_n_num_Y**2
+    x_ls = np.exp(f64(params.x_log_lengthscales))
+    x_sn2 = float(np.exp(f64(params.x_log_sigma_n))) ** 2 + cfg.sigma_n_num_X**2
+    x_lw = np.exp(f64(params.x_log_lin_coeff)) ** 2
+
+    def rbf(A, B, ls):
+        d = (A[:, None, :] - B[None, :, :]) / ls
+        return np.exp(-np.sum(d * d, axis=2))
+
+    def xker(A, B):
+        return rbf(A, B, x_ls) + (A * x_lw[:-1]) @ B.T + x_lw[-1]
+
+    Ky = rbf(X, X, y_ls) + y_sn2 * np.eye(X.shape[0])
+    Ky_inv = np.linalg.inv(Ky)
+    Ay = np.linalg.solve(Ky, Y64)
+
+    x_t = X[layout.xin_idx]
+    Xin = x_t if layout.back_step == 1 else np.concatenate(
+        [x_t, X[layout.xin_prev_idx]], axis=1
+    )
+    Xout = X[layout.xout_idx]
+    if cfg.dyn_target == "delta":
+        Xout = Xout - x_t
+
+    C, n_max = layout.n_classes, layout.n_max
+    din = Xin.shape[1]
+    Xin_c = np.zeros((C, n_max, din))
+    Kxc_inv = np.zeros((C, n_max, n_max))
+    Axc = np.zeros((C, n_max, cfg.d))
+    Kx_inv = np.zeros((layout.Nx, layout.Nx))
+    for c in range(C):
+        lo, hi = int(layout.x_class_offsets[c]), int(layout.x_class_offsets[c + 1])
+        n_c = hi - lo
+        blk = Xin[lo:hi]
+        Kc = xker(blk, blk) + x_sn2 * np.eye(n_c)
+        Kx_inv[lo:hi, lo:hi] = np.linalg.inv(Kc)
+        Kcj = Kc + cfg.class_jitter * np.eye(n_c)
+        Kxc_inv[c, :n_c, :n_c] = np.linalg.inv(Kcj)
+        Xin_c[c, :n_c] = blk
+        Axc[c, :n_c] = np.linalg.solve(Kcj, Xout[lo:hi])
+    Ax = Kx_inv @ Xout
+
+    def cast(a):
+        return jnp.asarray(np.asarray(a, dtype=dt))
+
+    return Posterior(
+        X=cast(X),
+        Y=cast(Y64),
+        Ky_inv=cast(Ky_inv),
+        Ay=cast(Ay),
+        Xin=cast(Xin),
+        Xout=cast(Xout),
+        Kx_inv=cast(Kx_inv),
+        Ax=cast(Ax),
+        Xin_c=cast(Xin_c),
+        mask_c=jnp.asarray(layout.class_pair_mask, dtype=jnp.dtype(cfg.dtype)),
+        Kxc_inv=cast(Kxc_inv),
+        Axc=cast(Axc),
+    )
+
+
 def predict_y(
     post: Posterior,
     params: GPMDMParams,

@@ -213,11 +213,15 @@ class GPMDM:
 
     def _precompute_kernel_inverses(self) -> None:
         """Refresh posterior state (reference _precompute_kernel_inverses,
-        gpmdm.py:1284-1305)."""
+        gpmdm.py:1284-1305).
+
+        Runs on the host in float64 (core.precompute_host): trained Gram
+        matrices sit at f32's conditioning limit, and the one-time f64
+        factorization makes the low-precision deployed posterior stable on
+        TPU (factor high, deploy low)."""
         self._require_init()
-        Y = jnp.asarray(self.get_Y(), dtype=self.dtype)
-        self.posterior = _jit_precompute(
-            self.params, Y, cfg=self.config, layout=self.layout
+        self.posterior = core.precompute_host(
+            self.params, self.get_Y(), self.config, self.layout
         )
 
     # ------------------------------------------------------------- training

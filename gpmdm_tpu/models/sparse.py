@@ -45,6 +45,8 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
+from ..ops import linalg as LA
+
 from ..config import GPMDMConfig
 from ..ops import kernels as K
 from ..ops.layout import DataLayout, padded_class_indices
@@ -104,13 +106,13 @@ def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None):
         Kmn = Kmn * col_mask[None, :]
         knn_diag = knn_diag * col_mask
         Y = Y * col_mask[:, None]
-    Lm = jnp.linalg.cholesky(Kmm + _JITTER * jnp.eye(M, dtype=Kmm.dtype))
-    A = jsl.solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(sigma2)  # (M, N)
+    Lm = LA.chol_lower(Kmm, jitter=_JITTER)
+    A = LA.tri_solve(Lm, Kmn) / jnp.sqrt(sigma2)  # (M, N)
     B = jnp.eye(M, dtype=Kmm.dtype) + jnp.matmul(A, A.T, precision=_PREC)
-    LB = jnp.linalg.cholesky(B)
+    LB = LA.chol_lower(B)
     logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
     AY = jnp.matmul(A, Y, precision=_PREC)  # (M, Dout)
-    c = jsl.solve_triangular(LB, AY, lower=True)  # (M, Dout)
+    c = LA.tri_solve(LB, AY)  # (M, Dout)
     quad = (jnp.sum(Y * Y, axis=0) - jnp.sum(c * c, axis=0)) / sigma2  # (Dout,)
     trace = (jnp.sum(knn_diag) - sigma2 * jnp.sum(A * A)) / sigma2
     Dout = Y.shape[1]
@@ -218,8 +220,8 @@ def precompute(
         Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0]
     )
     sigma2 = jnp.exp(params.y_log_sigma_n) ** 2 + _JITTER
-    beta_y = jsl.solve_triangular(
-        Lm.T, jsl.solve_triangular(LB.T, c, lower=False), lower=False
+    beta_y = LA.tri_solve(
+        Lm.T, LA.tri_solve(LB.T, c, lower=False), lower=False
     ) / jnp.sqrt(sigma2)
 
     # per-class dynamics GPs
@@ -242,8 +244,8 @@ def precompute(
             jnp.sum(m), col_mask=m,
         )
         s2 = jnp.exp(params.x_log_sigma_n) ** 2 + _JITTER
-        beta = jsl.solve_triangular(
-            Lm.T, jsl.solve_triangular(LB.T, c, lower=False), lower=False
+        beta = LA.tri_solve(
+            Lm.T, LA.tri_solve(LB.T, c, lower=False), lower=False
         ) / jnp.sqrt(s2)
         return Lm, LB, beta
 
@@ -266,8 +268,8 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag):
 
     Kstar_m: (M, N*) star kernel against inducing inputs."""
     mean = jnp.matmul(Kstar_m.T, beta, precision=_PREC)  # (N*, Dout)
-    v1 = jsl.solve_triangular(Lm, Kstar_m, lower=True)  # (M, N*)
-    v2 = jsl.solve_triangular(LB, v1, lower=True)
+    v1 = LA.tri_solve(Lm, Kstar_m)  # (M, N*)
+    v2 = LA.tri_solve(LB, v1)
     var_common = kss_diag - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
     return mean, jnp.maximum(var_common, 1e-12)
 

@@ -225,3 +225,28 @@ def test_reference_api_parity_methods():
     Ky = np.asarray(m.get_y_kernel(m.params.X[:4], m.params.X[:4]))
     sigma2 = float(jnp.exp(m.params.y_log_sigma_n)) ** 2
     np.testing.assert_allclose(np.diag(Ky), 1 + sigma2, rtol=1e-10)
+
+
+def test_precompute_host_matches_jitted():
+    """Host-f64 posterior precompute == jitted precompute (f64 model)."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import GPMDM
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.models import core
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=15, D=6, seed=13
+    )
+    m = GPMDM(D=6, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()  # uses precompute_host
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    jitted = core.precompute(m.params, Y, m.config, m.layout)
+    for f in ["Ky_inv", "Ay", "Kx_inv", "Ax", "Kxc_inv", "Axc", "Xin", "Xout"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(m.posterior, f)),
+            np.asarray(getattr(jitted, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f,
+        )

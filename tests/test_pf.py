@@ -230,3 +230,23 @@ def test_all_dead_particles_fallback(trained_model):
     s2, out = pf.pf_step(s, z, m.posterior, m.params, log_T, m.config, pfc)
     assert np.isfinite(np.asarray(out.class_probs)).all()
     assert np.isfinite(np.asarray(s2.log_w)).all()
+
+
+def test_ess_threshold_resampling(trained_model):
+    """ESS-triggered resampling: classification quality holds, weights
+    accumulate across skipped-resample frames, and config validation
+    rejects threshold<1 without weight accumulation."""
+    m, test_seqs, test_labels = trained_model
+    with pytest.raises(ValueError):
+        PFConfig(resample_threshold=0.5)  # needs accumulate_weights
+    pfc = PFConfig(num_particles=100, resample_threshold=0.5, accumulate_weights=True)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(m, T, num_particles=100, config=pfc, seed=0)
+    correct = total = 0
+    for Z, label in zip(test_seqs, test_labels):
+        flt.reset()
+        outs = flt.run(Z)
+        pred = np.asarray(outs.most_likely_class)
+        correct += (pred[5:] == label).sum()
+        total += len(pred) - 5
+    assert correct / total > 0.85, correct / total
