@@ -274,6 +274,88 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag):
     return mean, jnp.maximum(var_common, 1e-12)
 
 
+def precompute_host(
+    params: SparseParams, Y, cfg: GPMDMConfig, layout: DataLayout
+) -> SparsePosterior:
+    """SGPR posterior precompute on the HOST in float64, cast to model dtype
+    (same rationale as core.precompute_host: factor high, deploy low — f32
+    factorizations of trained kernels are at the conditioning cliff on
+    TPU)."""
+    dt = np.dtype(cfg.np_dtype)
+
+    def f64(a):
+        return np.asarray(a, dtype=np.float64)
+
+    X = f64(params.X)
+    Y64 = f64(Y)
+    Zy = f64(params.Zy)
+    Zx = f64(params.Zx)
+    y_ls = np.exp(f64(params.y_log_lengthscales))
+    x_ls = np.exp(f64(params.x_log_lengthscales))
+    x_lw = np.exp(f64(params.x_log_lin_coeff)) ** 2
+    sigma2_y = float(np.exp(f64(params.y_log_sigma_n))) ** 2 + _JITTER
+    sigma2_x = float(np.exp(f64(params.x_log_sigma_n))) ** 2 + _JITTER
+
+    def rbf(A, B, ls):
+        d = (A[:, None, :] - B[None, :, :]) / ls
+        return np.exp(-np.sum(d * d, axis=2))
+
+    def xker(A, B):
+        return rbf(A, B, x_ls) + (A * x_lw[:-1]) @ B.T + x_lw[-1]
+
+    def sgpr(Kmm, Kmn, Ydata, sigma2):
+        M = Kmm.shape[0]
+        Lm = np.linalg.cholesky(Kmm + _JITTER * np.eye(M))
+        import scipy.linalg as sl
+
+        A = sl.solve_triangular(Lm, Kmn, lower=True) / np.sqrt(sigma2)
+        B = np.eye(M) + A @ A.T
+        LB = np.linalg.cholesky(B)
+        c = sl.solve_triangular(LB, A @ Ydata, lower=True)
+        beta = sl.solve_triangular(
+            Lm.T, sl.solve_triangular(LB.T, c, lower=False), lower=False
+        ) / np.sqrt(sigma2)
+        return Lm, LB, beta
+
+    Lm_y, LB_y, beta_y = sgpr(rbf(Zy, Zy, y_ls), rbf(Zy, X, y_ls), Y64, sigma2_y)
+
+    pads = padded_class_indices(layout)
+    mask = pads["mask"]
+    x_t = X[pads["idx_in"]] * mask[:, :, None]
+    if cfg.dyn_back_step == 1:
+        Xin_c = x_t
+    else:
+        Xin_c = np.concatenate([x_t, X[pads["idx_prev"]] * mask[:, :, None]], axis=2)
+    Xout_c = X[pads["idx_out"]] * mask[:, :, None]
+    if cfg.dyn_target == "delta":
+        Xout_c = Xout_c - x_t
+
+    C, Mx = Zx.shape[0], Zx.shape[1]
+    Lx = np.zeros((C, Mx, Mx))
+    LBx = np.zeros((C, Mx, Mx))
+    beta_x = np.zeros((C, Mx, cfg.d))
+    for c in range(C):
+        Kmn = xker(Zx[c], Xin_c[c]) * mask[c][None, :]
+        Lx[c], LBx[c], beta_x[c] = sgpr(
+            xker(Zx[c], Zx[c]), Kmn, Xout_c[c], sigma2_x
+        )
+
+    def cast(a):
+        return jnp.asarray(np.asarray(a, dtype=dt))
+
+    return SparsePosterior(
+        X=cast(X),
+        Zy=cast(Zy),
+        Ly=cast(Lm_y),
+        LBy=cast(LB_y),
+        beta_y=cast(beta_y),
+        Zx=cast(Zx),
+        Lx=cast(Lx),
+        LBx=cast(LBx),
+        beta_x=cast(beta_x),
+    )
+
+
 def predict_y(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
     cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,

@@ -74,10 +74,11 @@ class SparseGPMDM(GPMDM):
         self._precompute_kernel_inverses()
 
     def _precompute_kernel_inverses(self) -> None:
+        # host f64 factorization, cast to model dtype (see
+        # sparse.precompute_host / core.precompute_host rationale)
         self._require_init()
-        Y = jnp.asarray(self.get_Y(), dtype=self.dtype)
-        self.posterior = _jit_sparse_precompute(
-            self.params, Y, cfg=self.config, layout=self.layout
+        self.posterior = sparse.precompute_host(
+            self.params, self.get_Y(), self.config, self.layout
         )
 
     # ------------------------------------------------------------- training

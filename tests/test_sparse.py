@@ -125,3 +125,18 @@ def test_sparse_rollout_shape():
     traj = np.asarray(ms.rollout(x0, 7, 0))
     assert traj.shape == (7, 2)
     assert np.isfinite(traj).all()
+
+
+def test_sparse_precompute_host_matches_jitted():
+    """Host-f64 sparse posterior == jitted sparse precompute (f64 model)."""
+    import jax.numpy as jnp
+
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=14, n_inducing_x=12)
+    Y = jnp.asarray(ms.get_Y(), dtype=jnp.float64)
+    jitted = sparse.precompute(ms.params, Y, ms.config, ms.layout)
+    for f in ["Ly", "LBy", "beta_y", "Lx", "LBx", "beta_x"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ms.posterior, f)),
+            np.asarray(getattr(jitted, f)),
+            rtol=1e-6, atol=1e-8, err_msg=f,
+        )
