@@ -250,3 +250,31 @@ def test_ess_threshold_resampling(trained_model):
         correct += (pred[5:] == label).sum()
         total += len(pred) - 5
     assert correct / total > 0.85, correct / total
+
+
+@pytest.mark.parametrize("dyn_target,back_step", [("delta", 1), ("full", 2), ("delta", 2)])
+def test_pf_nondefault_dynamics_modes(dyn_target, back_step):
+    """The reference PF hard-codes full/back_step=1 (gpmdm_pf.py:153-168);
+    ours supports all four (target, back_step) modes end-to-end."""
+    tr, tl, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=2, seq_len=30, D=8, seed=17
+    )
+    from gpmdm_tpu import GPMDM
+
+    m = GPMDM(D=8, d=2, n_classes=2, dtype="float64",
+              dyn_target=dyn_target, dyn_back_step=back_step)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=60, lr=0.02)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    flt = GPMDM_PF(m, T, num_particles=80, seed=0)
+    correct = total = 0
+    for Z, label in zip(te, tel):
+        flt.reset()
+        outs = flt.run(Z)
+        assert np.isfinite(np.asarray(outs.class_probs)).all()
+        pred = np.asarray(outs.most_likely_class)
+        correct += (pred[5:] == label).sum()
+        total += len(pred) - 5
+    assert correct / total > 0.7, (dyn_target, back_step, correct / total)
