@@ -104,7 +104,8 @@ class PFOutputs:
     """Per-step readouts."""
 
     class_probs: jax.Array  # (C,) posterior class probabilities
-    log_likelihood: jax.Array  # () weighted observation log-likelihood (up to scale)
+    log_likelihood: jax.Array  # () max-shifted weighted likelihood sum (reference
+    # log_likelihood semantics: linear-space, correct only up to the max shift)
     state_mean: jax.Array  # (d,) weighted mean latent state
     most_likely_class: jax.Array  # () int32 argmax of class_probs
 
@@ -320,7 +321,9 @@ def pf_step(
     # weighted observation log-likelihood, up to the max-shift scale exactly
     # like the reference (_weighted_sum_from_log_space, gpmdm_pf.py:302-312,
     # which never adds the subtracted max back).
-    log_likelihood = jnp.log(jnp.sum(jnp.exp(lw)))
+    # linear-space max-shifted sum, exactly the reference's return value
+    # (its _weighted_sum_from_log_space never re-applies the max or a log)
+    log_likelihood = jnp.sum(jnp.exp(lw))
     # dead particles carry w == 0 but may hold inf/NaN states; 0 * inf is
     # NaN, so zero their states in the weighted mean explicitly.
     x_safe = jnp.where(jnp.isfinite(x_new), x_new, 0.0)
@@ -561,8 +564,10 @@ class GPMDM_PF:
         return int(self._last_outputs.most_likely_class)
 
     def log_likelihood(self) -> float:
-        """Weighted observation log-likelihood, correct up to scale exactly
-        like the reference (gpmdm_pf.py:215-222)."""
+        """Max-shifted weighted likelihood sum — the reference's exact
+        return value (gpmdm_pf.py:215-222 via _weighted_sum_from_log_space
+        :302-312, which returns the linear-space sum and never re-applies
+        the subtracted max; despite the name it is NOT a log)."""
         self._require_update()
         return float(self._last_outputs.log_likelihood)
 

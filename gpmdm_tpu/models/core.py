@@ -358,11 +358,9 @@ def precompute_host(
     Numerically equivalent to :func:`precompute` (same math; f64
     intermediate).
     """
-    dt = np.dtype(cfg.np_dtype)
+    from ..ops import kernels_host as KH
 
-    def f64(a):
-        return np.asarray(a, dtype=np.float64)
-
+    f64 = KH.f64
     X = f64(params.X)
     Y64 = f64(Y)
     y_ls = np.exp(f64(params.y_log_lengthscales))
@@ -371,14 +369,10 @@ def precompute_host(
     x_sn2 = float(np.exp(f64(params.x_log_sigma_n))) ** 2 + cfg.sigma_n_num_X**2
     x_lw = np.exp(f64(params.x_log_lin_coeff)) ** 2
 
-    def rbf(A, B, ls):
-        d = (A[:, None, :] - B[None, :, :]) / ls
-        return np.exp(-np.sum(d * d, axis=2))
-
     def xker(A, B):
-        return rbf(A, B, x_ls) + (A * x_lw[:-1]) @ B.T + x_lw[-1]
+        return KH.x_kernel(A, B, x_ls, x_lw)
 
-    Ky = rbf(X, X, y_ls) + y_sn2 * np.eye(X.shape[0])
+    Ky = KH.rbf(X, X, y_ls) + y_sn2 * np.eye(X.shape[0])
     Ky_inv = np.linalg.inv(Ky)
     Ay = np.linalg.solve(Ky, Y64)
 
@@ -409,7 +403,9 @@ def precompute_host(
     Ax = Kx_inv @ Xout
 
     def cast(a):
-        return jnp.asarray(np.asarray(a, dtype=dt))
+        # cast to the TRUE model dtype (incl. bfloat16 — np_dtype would
+        # silently widen bf16 models to f32)
+        return jnp.asarray(np.asarray(a, dtype=np.float64), dtype=jnp.dtype(cfg.dtype))
 
     return Posterior(
         X=cast(X),

@@ -367,16 +367,14 @@ class GPMDM:
 
     def get_Xin_Xout_matrices(self):
         """Dynamics regression matrices (Xin, Xout) plus per-sequence start
-        indices (reference get_Xin_Xout_matrices, gpmdm.py:630-718)."""
+        indices INTO THE LATENT MATRIX X (reference get_Xin_Xout_matrices,
+        gpmdm.py:630-718, whose start_indeces cumulate full sequence
+        lengths)."""
         from ..ops.layout import xin_xout
 
         self._require_init()
         Xin, Xout = xin_xout(self.params.X, self.layout, self.config.dyn_target)
-        starts = []
-        acc = 0
-        for length in self.layout.seq_lengths:
-            starts.append(acc)
-            acc += length - self.layout.back_step
+        starts = [int(s) for s in self.layout.seq_starts]
         return Xin, Xout, starts
 
     def get_y_kernel(self, X1, X2, flg_noise: bool = True):
@@ -444,17 +442,22 @@ class GPMDM:
 
     # --------------------------------------------------------- diagnostics
 
+    @staticmethod
+    def _nmse(truth, mean, var, floored: bool) -> float:
+        z2 = (np.asarray(truth) - np.asarray(mean)) ** 2 / np.asarray(var)
+        if floored:
+            z2 = np.floor(z2)
+        return float(np.mean(z2))
+
     def get_latent_map_performance(self, flg_noise: bool = False, floored: bool = False):
         """(mean, var, Y, NMSE) on all training data (reference
         get_latent_map_performance, gpmdm.py:1199-1239).  ``floored=True``
         reproduces the reference's floor-division quirk."""
         self._require_posterior()
-        Y = jnp.asarray(self.get_Y(), dtype=self.dtype)
+        Y = np.asarray(self.get_Y())
         mean, var = self.map_x_to_y(self.params.X, flg_noise)
-        nmse = core.latent_map_nmse(
-            self.posterior, self.params, self.config, self.params.X, Y, flg_noise, floored
-        )
-        return np.asarray(mean), np.asarray(var), np.asarray(Y), float(nmse)
+        nmse = self._nmse(Y, mean, var, floored)
+        return np.asarray(mean), np.asarray(var), Y, nmse
 
     def get_latent_map_performance_for_class(
         self, class_index: int, flg_noise: bool = False, floored: bool = False
@@ -462,12 +465,10 @@ class GPMDM:
         """Per-class latent map NMSE (reference gpmdm.py:1241-1273)."""
         self._require_posterior()
         Xc = self.get_X_for_class(class_index)
-        Yc = jnp.asarray(self.get_Y_for_class(class_index), dtype=self.dtype)
+        Yc = np.asarray(self.get_Y_for_class(class_index))
         mean, var = self.map_x_to_y(Xc, flg_noise)
-        nmse = core.latent_map_nmse(
-            self.posterior, self.params, self.config, Xc, Yc, flg_noise, floored
-        )
-        return np.asarray(mean), np.asarray(var), np.asarray(Yc), float(nmse)
+        nmse = self._nmse(Yc, mean, var, floored)
+        return np.asarray(mean), np.asarray(var), Yc, nmse
 
     def get_dynamics_map_performance_for_class(
         self, class_index: int, flg_noise: bool = False, floored: bool = False
@@ -476,15 +477,13 @@ class GPMDM:
         gpmdm.py:1147-1196)."""
         self._require_posterior()
         mean, var = self.map_x_dynamics_for_class(self.posterior.Xin, class_index, flg_noise)
-        nmse = core.dynamics_map_nmse_for_class(
-            self.posterior, self.params, self.config, class_index, flg_noise, floored
-        )
+        nmse = self._nmse(self.posterior.Xout, mean, var, floored)
         return (
             np.asarray(mean),
             np.asarray(var),
             np.asarray(self.posterior.Xout),
             np.asarray(self.posterior.Xin),
-            float(nmse),
+            nmse,
         )
 
     # ---------------------------------------------------------- persistence

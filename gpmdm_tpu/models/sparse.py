@@ -92,7 +92,8 @@ class SparsePosterior:
 _JITTER = 1e-6
 
 
-def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None):
+def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None,
+                sigma_n_num: float = 0.0):
     """Shared VFE pieces for one GP.
 
     Kmm (M, M), Kmn (M, N), knn_diag (N,), Y (N, Dout), w2 (Dout,).
@@ -101,7 +102,7 @@ def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None):
     Returns (nll, Lm, LB, c) where c = LB^-1 A Y.
     """
     M = Kmm.shape[0]
-    sigma2 = jnp.exp(log_sigma) ** 2 + _JITTER
+    sigma2 = jnp.exp(log_sigma) ** 2 + sigma_n_num**2 + _JITTER
     if col_mask is not None:
         Kmn = Kmn * col_mask[None, :]
         knn_diag = knn_diag * col_mask
@@ -132,7 +133,8 @@ def y_sparse_nll(params: SparseParams, Y: jax.Array, cfg: GPMDMConfig) -> jax.Ar
     knn_diag = jnp.ones((params.X.shape[0],), dtype=Y.dtype)
     w2 = jnp.exp(params.y_log_lambdas) ** 2
     nll, _, _, _ = _sgpr_terms(
-        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0]
+        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0],
+        sigma_n_num=cfg.sigma_n_num_Y,
     )
     return nll
 
@@ -171,7 +173,7 @@ def x_sparse_nll(
         knn_diag = K.x_diag_kernel(Xin_b, params.x_log_lin_coeff, params.x_log_sigma_n)
         nll, _, _, _ = _sgpr_terms(
             Kmm, Kmn, knn_diag, Xout_b, params.x_log_sigma_n, w2,
-            jnp.sum(m), col_mask=m,
+            jnp.sum(m), col_mask=m, sigma_n_num=cfg.sigma_n_num_X,
         )
         return nll
 
@@ -217,9 +219,10 @@ def precompute(
     knn_diag = jnp.ones((params.X.shape[0],), dtype=dt)
     w2 = jnp.exp(params.y_log_lambdas) ** 2
     _, Lm, LB, c = _sgpr_terms(
-        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0]
+        Kmm, Kmn, knn_diag, Y, params.y_log_sigma_n, w2, Y.shape[0],
+        sigma_n_num=cfg.sigma_n_num_Y,
     )
-    sigma2 = jnp.exp(params.y_log_sigma_n) ** 2 + _JITTER
+    sigma2 = jnp.exp(params.y_log_sigma_n) ** 2 + cfg.sigma_n_num_Y**2 + _JITTER
     beta_y = LA.tri_solve(
         Lm.T, LA.tri_solve(LB.T, c, lower=False), lower=False
     ) / jnp.sqrt(sigma2)
@@ -241,9 +244,9 @@ def precompute(
         knn_diag = K.x_diag_kernel(Xin_b, params.x_log_lin_coeff, params.x_log_sigma_n)
         _, Lm, LB, c = _sgpr_terms(
             Kmm, Kmn, knn_diag, Xout_b, params.x_log_sigma_n, w2x,
-            jnp.sum(m), col_mask=m,
+            jnp.sum(m), col_mask=m, sigma_n_num=cfg.sigma_n_num_X,
         )
-        s2 = jnp.exp(params.x_log_sigma_n) ** 2 + _JITTER
+        s2 = jnp.exp(params.x_log_sigma_n) ** 2 + cfg.sigma_n_num_X**2 + _JITTER
         beta = LA.tri_solve(
             Lm.T, LA.tri_solve(LB.T, c, lower=False), lower=False
         ) / jnp.sqrt(s2)
@@ -281,11 +284,9 @@ def precompute_host(
     (same rationale as core.precompute_host: factor high, deploy low — f32
     factorizations of trained kernels are at the conditioning cliff on
     TPU)."""
-    dt = np.dtype(cfg.np_dtype)
+    from ..ops import kernels_host as KH
 
-    def f64(a):
-        return np.asarray(a, dtype=np.float64)
-
+    f64 = KH.f64
     X = f64(params.X)
     Y64 = f64(Y)
     Zy = f64(params.Zy)
@@ -293,15 +294,14 @@ def precompute_host(
     y_ls = np.exp(f64(params.y_log_lengthscales))
     x_ls = np.exp(f64(params.x_log_lengthscales))
     x_lw = np.exp(f64(params.x_log_lin_coeff)) ** 2
-    sigma2_y = float(np.exp(f64(params.y_log_sigma_n))) ** 2 + _JITTER
-    sigma2_x = float(np.exp(f64(params.x_log_sigma_n))) ** 2 + _JITTER
+    sigma2_y = float(np.exp(f64(params.y_log_sigma_n))) ** 2 + cfg.sigma_n_num_Y**2 + _JITTER
+    sigma2_x = float(np.exp(f64(params.x_log_sigma_n))) ** 2 + cfg.sigma_n_num_X**2 + _JITTER
 
     def rbf(A, B, ls):
-        d = (A[:, None, :] - B[None, :, :]) / ls
-        return np.exp(-np.sum(d * d, axis=2))
+        return KH.rbf(A, B, ls)
 
     def xker(A, B):
-        return rbf(A, B, x_ls) + (A * x_lw[:-1]) @ B.T + x_lw[-1]
+        return KH.x_kernel(A, B, x_ls, x_lw)
 
     def sgpr(Kmm, Kmn, Ydata, sigma2):
         M = Kmm.shape[0]
@@ -320,15 +320,7 @@ def precompute_host(
     Lm_y, LB_y, beta_y = sgpr(rbf(Zy, Zy, y_ls), rbf(Zy, X, y_ls), Y64, sigma2_y)
 
     pads = padded_class_indices(layout)
-    mask = pads["mask"]
-    x_t = X[pads["idx_in"]] * mask[:, :, None]
-    if cfg.dyn_back_step == 1:
-        Xin_c = x_t
-    else:
-        Xin_c = np.concatenate([x_t, X[pads["idx_prev"]] * mask[:, :, None]], axis=2)
-    Xout_c = X[pads["idx_out"]] * mask[:, :, None]
-    if cfg.dyn_target == "delta":
-        Xout_c = Xout_c - x_t
+    Xin_c, Xout_c, mask = KH.class_xin_xout(X, layout, cfg, pads)
 
     C, Mx = Zx.shape[0], Zx.shape[1]
     Lx = np.zeros((C, Mx, Mx))
@@ -341,7 +333,8 @@ def precompute_host(
         )
 
     def cast(a):
-        return jnp.asarray(np.asarray(a, dtype=dt))
+        # cast to the TRUE model dtype (incl. bfloat16)
+        return jnp.asarray(np.asarray(a, dtype=np.float64), dtype=jnp.dtype(cfg.dtype))
 
     return SparsePosterior(
         X=cast(X),

@@ -39,6 +39,13 @@ def trainable_mask(cfg: GPMDMConfig, mode: str = "all") -> core.GPMDMParams:
     ('all' | 'latent' | 'dynamics'), mirroring reference
     ``set_training_mode`` (gpmdm.py:247-279).  The latent matrix X is always
     trainable during training, as in the reference (gpmdm.py:773).
+
+    Intentional divergence: the reference's ``train_adam`` unconditionally
+    calls ``set_training_mode('all')`` (gpmdm.py:856), force-enabling every
+    parameter and silently overriding the ctor's ``flg_train_*`` flags and
+    any prior mode — its flags are effectively dead.  Here flags and mode
+    are honored (the behavior the reference's API documents); see
+    docs/PARITY.md.
     """
     if mode not in ("all", "latent", "dynamics"):
         raise ValueError("mode must be 'all', 'latent' or 'dynamics'")
@@ -198,10 +205,12 @@ def train_adam(
         done += n
         if log_fn is not None:
             log_fn(done, float(losses[-1]), time.perf_counter() - t0)
+        # save whenever a checkpoint boundary was crossed inside this chunk
+        # (chunk boundaries need not align with checkpoint_every)
         if (
             train_cfg.checkpoint_every > 0
             and train_cfg.checkpoint_path
-            and done % train_cfg.checkpoint_every == 0
+            and done // train_cfg.checkpoint_every > (done - n) // train_cfg.checkpoint_every
         ):
             from ..utils.checkpoint import save_train_state
 

@@ -12,27 +12,20 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax
 from jax.experimental import checkify
 
 
 def checked(fn: Callable, *args, **kwargs):
-    """Run ``fn`` under float checkify; raises ValueError with the first
-    NaN/Inf site if any, else returns the result.
+    """Run ``fn`` under float checkify; raises with the first NaN/Inf site
+    if any, else returns the result.  Runs un-jitted so arguments may
+    include static config objects:
 
-    >>> from gpmdm_tpu.utils.debug import checked
-    >>> loss = checked(core.nll, params, Y, cfg, layout)
+        loss = checked(core.nll, params, Y, cfg, layout)
     """
-    f = checkify.checkify(
-        lambda *a, **k: fn(*a, **k), errors=checkify.float_checks
-    )
-    err, out = jax.jit(f)(*args, **kwargs) if _jittable(args) else f(*args, **kwargs)
+    f = checkify.checkify(fn, errors=checkify.float_checks)
+    err, out = f(*args, **kwargs)
     err.throw()
     return out
-
-
-def _jittable(args) -> bool:
-    return True
 
 
 def check_loss(model, balance: float = 1.0):

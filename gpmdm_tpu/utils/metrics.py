@@ -110,7 +110,9 @@ def evaluate_pf(
         preds_eval = preds[burn_in:]
         frame_pred.append(preds_eval)
         frame_true.append(np.full(len(preds_eval), label))
-        counts = np.bincount(preds, minlength=n_classes)
+        # trial vote from post-burn-in frames only, consistent with the
+        # frame metrics
+        counts = np.bincount(preds_eval, minlength=n_classes)
         trial_pred.append(int(np.argmax(counts)))
 
     fcm = confusion_matrix(np.concatenate(frame_pred), np.concatenate(frame_true), n_classes)

@@ -110,3 +110,37 @@ def test_checkify_loss_clean_and_dirty():
     m.params = dc.replace(m.params, y_log_sigma_n=jnp.asarray(jnp.nan))
     with pytest.raises(Exception):
         check_loss(m)
+
+
+def test_checkpoint_cadence_misaligned_chunks(tmp_path):
+    """Checkpoints must be written whenever a boundary is crossed, even when
+    print_every does not divide checkpoint_every (regression: the save
+    condition used to be `done % checkpoint_every == 0`, which never fired
+    for print_every=30 / checkpoint_every=50)."""
+    import optax
+
+    m = small_model()
+    path = tmp_path / "ck.npz"
+    tc = TrainConfig(num_steps=90, lr=0.01, print_every=30,
+                     checkpoint_every=50, checkpoint_path=str(path))
+    train_adam(m.params, m.get_Y(), m.config, m.layout, tc)
+    assert path.exists()
+    template_opt = optax.adam(0.01).init(m.params)
+    _, _, step, _ = ckpt.load_train_state(path, m.params, template_opt)
+    # the 50-boundary is crossed inside the chunk ending at step 60; the
+    # 100-boundary is never reached (the final state is returned anyway)
+    assert step == 60
+
+
+def test_checked_helper_with_static_args():
+    """checked() must accept static config objects (regression: it used to
+    force jax.jit and crash on GPMDMConfig/DataLayout args)."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu.models import core
+    from gpmdm_tpu.utils.debug import checked
+
+    m = small_model()
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    loss = checked(core.nll, m.params, Y, m.config, m.layout)
+    assert np.isfinite(float(loss))
