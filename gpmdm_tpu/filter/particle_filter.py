@@ -455,6 +455,25 @@ def pf_init_bank(
     return jax.vmap(lambda k: pf_init(post, y_class_offsets, k, pf_cfg))(keys)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _instance_jits(cfg: GPMDMConfig, pf_cfg: PFConfig):
+    """Jitted (step, masked-scan) pair shared across GPMDM_PF instances with
+    the same static configs; log_T is a runtime argument."""
+
+    @jax.jit
+    def _step(state, z, post, params, log_T):
+        return pf_step(state, z, post, params, log_T, cfg, pf_cfg)
+
+    @jax.jit
+    def _scan(state, Z, valid, post, params, log_T):
+        return pf_scan_masked(state, Z, valid, post, params, log_T, cfg, pf_cfg)
+
+    return _step, _scan
+
+
 # ---------------------------------------------------------------------------
 # Stateful wrapper (reference-API parity)
 # ---------------------------------------------------------------------------
@@ -496,21 +515,11 @@ class GPMDM_PF:
         self._seed = seed
         self._last_outputs: Optional[PFOutputs] = None
 
-        cfg = gpmdm.config
-        pf_cfg = self.pf_config
-
-        @jax.jit
-        def _step(state, z, post, params):
-            return pf_step(state, z, post, params, self._log_T, cfg, pf_cfg)
-
-        @jax.jit
-        def _scan(state, Z, valid, post, params):
-            return pf_scan_masked(
-                state, Z, valid, post, params, self._log_T, cfg, pf_cfg
-            )
-
-        self._jit_step = _step
-        self._jit_scan = _scan
+        # jitted closures are shared across ALL filter instances with the
+        # same (model config, PF config): the transition matrix is a traced
+        # argument, so building a second filter (or one per trial, as eval
+        # loops do) never recompiles.
+        self._jit_step, self._jit_scan = _instance_jits(gpmdm.config, self.pf_config)
         self.reset()
 
     # ------------------------------------------------------------------ api
@@ -529,7 +538,7 @@ class GPMDM_PF:
         """One per-frame update (reference update, gpmdm_pf.py:117-135)."""
         z = jnp.asarray(z, dtype=self._gpmdm.dtype).reshape(-1)
         self.state, out = self._jit_step(
-            self.state, z, self._gpmdm.posterior, self._gpmdm.params
+            self.state, z, self._gpmdm.posterior, self._gpmdm.params, self._log_T
         )
         self._last_outputs = out
         return out
@@ -547,7 +556,8 @@ class GPMDM_PF:
         valid = jnp.arange(T_pad) < T
         Zp = jnp.pad(Z, ((0, T_pad - T), (0, 0)))
         self.state, outs = self._jit_scan(
-            self.state, Zp, valid, self._gpmdm.posterior, self._gpmdm.params
+            self.state, Zp, valid, self._gpmdm.posterior, self._gpmdm.params,
+            self._log_T,
         )
         outs = jax.tree.map(lambda a: a[:T], outs)
         self._last_outputs = jax.tree.map(lambda a: a[-1], outs)
