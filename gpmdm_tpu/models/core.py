@@ -113,14 +113,16 @@ def init_params(
 
 def pca_init_x(Y: np.ndarray, d: int) -> np.ndarray:
     """PCA latent initialization matching sklearn's ``PCA.fit_transform``
-    (reference init_X, gpmdm.py:762-768): center, SVD, deterministic sign flip
-    (per component, the max-|u| element of U is made positive), project."""
+    (reference init_X, gpmdm.py:762-768): center, SVD, deterministic sign
+    flip, project.  The flip follows sklearn's V-based convention
+    (``svd_flip(u_based_decision=False)``: per component, the max-|v|
+    entry of the right singular vector is made positive) — verified
+    bit-for-bit against sklearn in tests/test_reference_parity.py."""
     Y = np.asarray(Y, dtype=np.float64)
     Yc = Y - Y.mean(axis=0, keepdims=True)
     U, S, Vt = np.linalg.svd(Yc, full_matrices=False)
-    # sklearn svd_flip(u_based_decision=True)
-    max_rows = np.argmax(np.abs(U), axis=0)
-    signs = np.sign(U[max_rows, np.arange(U.shape[1])])
+    max_cols = np.argmax(np.abs(Vt), axis=1)
+    signs = np.sign(Vt[np.arange(Vt.shape[0]), max_cols])
     signs[signs == 0] = 1.0
     U = U * signs
     return (U[:, :d] * S[:d]).astype(Y.dtype)

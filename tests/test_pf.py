@@ -266,9 +266,9 @@ def test_pf_nondefault_dynamics_modes(dyn_target, back_step):
     for Y, c in zip(tr, tl):
         m.add_data(Y, c)
     m.init_X()
-    m.train_adam(num_opt_steps=60, lr=0.02)
+    m.train_adam(num_opt_steps=120, lr=0.02)
     T = [[0.9, 0.1], [0.1, 0.9]]
-    flt = GPMDM_PF(m, T, num_particles=80, seed=0)
+    flt = GPMDM_PF(m, T, num_particles=120, seed=0)
     correct = total = 0
     for Z, label in zip(te, tel):
         flt.reset()
