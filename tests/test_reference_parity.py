@@ -161,3 +161,42 @@ def test_checkpoint_cross_load(pair, tmp_path):
     Y = torch.tensor(ref.get_Y(), dtype=ref.dtype)
     ref_loss = float(ref.gpdm_loss(Y, Y.shape[0], 1.0))
     np.testing.assert_allclose(imported.gpdm_loss(), ref_loss, rtol=1e-9)
+
+
+def test_pf_weight_math_matches_reference(pair):
+    """Deterministic PF stage parity: feed identical particle states to the
+    reference's _update_weights (gpmdm_pf.py:170-204) and compare its
+    per-particle log-likelihoods and normalized weights against our
+    vectorized observation stage with compat_double_logdet=True."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from gpmdm import GPMDM_PF as RefPF
+    from gpmdm_tpu.filter import particle_filter as pf
+
+    ref, ours, te = pair
+    T = torch.tensor([[0.9, 0.1], [0.1, 0.9]], dtype=ref.dtype)
+    rpf = RefPF(ref, T, num_particles=12)
+
+    rng = np.random.default_rng(3)
+    states = rng.normal(size=(12, 2))
+    z = np.asarray(te[0][0], dtype=np.float64)
+
+    rpf._particle_states = torch.tensor(states, dtype=ref.dtype)
+    rpf._log_weights = torch.zeros(12, dtype=ref.dtype)
+    rpf._update_weights(torch.tensor(z, dtype=ref.dtype))
+    ref_ll = rpf._log_likelihoods.detach().numpy()
+    ref_w = rpf._weights.detach().numpy()
+
+    mean, var = ours.map_x_to_y(states)
+    our_ll = np.asarray(
+        pf.observation_log_lik(
+            jnp.asarray(z), jnp.asarray(mean), jnp.asarray(var), ours.D,
+            compat_double_logdet=True,
+        )
+    )
+    np.testing.assert_allclose(our_ll, ref_ll, rtol=1e-6, atol=1e-8)
+    our_lw = our_ll - np.max(our_ll)
+    our_w = np.exp(our_lw) / np.exp(our_lw).sum()
+    np.testing.assert_allclose(our_w, ref_w, rtol=1e-6, atol=1e-10)
