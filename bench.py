@@ -126,6 +126,29 @@ def main() -> None:
         total += len(pred) - 5
     frame_acc = correct / total
 
+    # secondary metric: BASELINE's multi-filter config — 64 independent
+    # banks x 1k particles streaming concurrently (dp-shardable across a
+    # slice; measured here on the single available chip).
+    B, P_bank, T_bank = 64, 1000, 64
+    pfc_bank = PFConfig(num_particles=P_bank)
+    bank_scan = jax.jit(
+        lambda s, Z, post, params: pf.pf_scan_bank(
+            s, Z, post, params, log_T, cfg, pfc_bank
+        )
+    )
+    states = pf.pf_init_bank(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc_bank, B
+    )
+    Zb = jnp.broadcast_to(Z[:T_bank][None], (B, T_bank, D))
+    _, bouts = bank_scan(states, Zb, m.posterior, m.params)
+    jax.block_until_ready(bouts.class_probs)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, bouts = bank_scan(states, Zb, m.posterior, m.params)
+        jax.block_until_ready(bouts.class_probs)
+    bank_wall = (time.perf_counter() - t0) / 3
+    bank_agg_fps = B * T_bank / bank_wall
+
     print(
         json.dumps(
             {
@@ -140,6 +163,7 @@ def main() -> None:
                 "n_train_frames": int(m.layout.Ny),
                 "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
                 "frame_acc": round(float(frame_acc), 4),
+                "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
                 "setup_s": round(time.perf_counter() - t_setup, 2),
