@@ -107,7 +107,7 @@ def test_nll_matches_reference(pair):
     Y = torch.tensor(ref.get_Y(), dtype=ref.dtype)
     # reference signature gpdm_loss(Y, N, M, balance=1): M is unused
     # (the balance-binding bug, SURVEY.md 2.4 #1) but required positional
-    ref_loss = float(ref.gpdm_loss(Y, Y.shape[0], 1.0))
+    ref_loss = float(ref.gpdm_loss(Y, Y.shape[0], 1.0).detach())
     np.testing.assert_allclose(ours.gpdm_loss(), ref_loss, rtol=1e-9)
 
 
@@ -159,7 +159,7 @@ def test_checkpoint_cross_load(pair, tmp_path):
     import torch
 
     Y = torch.tensor(ref.get_Y(), dtype=ref.dtype)
-    ref_loss = float(ref.gpdm_loss(Y, Y.shape[0], 1.0))
+    ref_loss = float(ref.gpdm_loss(Y, Y.shape[0], 1.0).detach())
     np.testing.assert_allclose(imported.gpdm_loss(), ref_loss, rtol=1e-9)
 
 
