@@ -138,6 +138,36 @@ def _cmd_rollout(args) -> int:
     return 0
 
 
+def _cmd_bench(args) -> int:
+    """Run the repo's headline TPU benchmark (bench.py)."""
+    import runpy
+    from pathlib import Path
+
+    bench = Path(__file__).resolve().parents[1] / "bench.py"
+    if not bench.exists():
+        print("bench.py not found (installed package without the repo); "
+              "run from a checkout")
+        return 1
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def _cmd_demo(args) -> int:
+    """Render the PF demo animation (examples/view_gpmdm_pf.py)."""
+    import runpy
+    import sys as _sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "examples" / "view_gpmdm_pf.py"
+    if not script.exists():
+        print("examples/ not found (installed package without the repo)")
+        return 1
+    _sys.argv = [str(script), args.ckpt, "--out", args.out,
+                 "--particles", str(args.particles)]
+    runpy.run_path(str(script), run_name="__main__")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gpmdm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -182,6 +212,15 @@ def main(argv=None) -> int:
     pr.add_argument("--steps", type=int, default=100)
     pr.add_argument("--plot", action="store_true")
     pr.set_defaults(fn=_cmd_rollout)
+
+    pb = sub.add_parser("bench", help="run the headline TPU benchmark")
+    pb.set_defaults(fn=_cmd_bench)
+
+    pd = sub.add_parser("demo", help="render the PF demo animation (GIF)")
+    pd.add_argument("ckpt")
+    pd.add_argument("--out", default="pf_demo.gif")
+    pd.add_argument("--particles", type=int, default=100)
+    pd.set_defaults(fn=_cmd_demo)
 
     args = p.parse_args(argv)
     return args.fn(args)
