@@ -128,3 +128,37 @@ def test_pf_bank_sharded_matches_unsharded(model):
     np.testing.assert_allclose(
         np.asarray(outs_sharded.class_probs), np.asarray(outs_ref.class_probs), rtol=1e-8
     )
+
+
+def test_rowsharded_predict_matches_single_device():
+    """Sequence-parallel (row-sharded) observation posterior == single-device
+    predict_y, exactly (one all-gather + psum on an 8-device mesh)."""
+    from gpmdm_tpu.parallel.sp_predict import predict_y_rowsharded
+
+    # Ny divisible by 8: 2 classes x 2 seqs x 20 frames = 80
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=20, D=7, seed=23
+    )
+    m = GPMDM(D=7, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    mesh = make_mesh({"sp": 8})
+    Xstar = jnp.asarray(np.random.default_rng(0).normal(size=(13, 2)))
+    mean_sh, var_sh = predict_y_rowsharded(
+        m.posterior, m.params, Xstar, m.config, mesh
+    )
+    mean, var = core.predict_y(m.posterior, m.params, Xstar, m.config)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-8)
+
+    # divisibility guard
+    import pytest as _pytest
+
+    bad_mesh = make_mesh({"sp": 8})
+    m2 = GPMDM(D=7, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m2.add_data(Y[:19], c)  # Ny = 76, not divisible by 8
+    m2.init_X()
+    with _pytest.raises(ValueError):
+        predict_y_rowsharded(m2.posterior, m2.params, Xstar, m2.config, bad_mesh)
