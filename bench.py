@@ -158,8 +158,8 @@ def main() -> None:
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
                 "particles": N_PARTICLES,
                 "frames": N_FRAMES,
-                "D": D,
-                "d": d,
+                "D": m.D,
+                "d": m.d,
                 "n_train_frames": int(m.layout.Ny),
                 "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
                 "frame_acc": round(float(frame_acc), 4),
