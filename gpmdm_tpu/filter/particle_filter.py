@@ -36,6 +36,7 @@ Known reference quirks, handled via PFConfig flags (see config.py):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 from typing import Optional
@@ -455,13 +456,12 @@ def pf_init_bank(
     return jax.vmap(lambda k: pf_init(post, y_class_offsets, k, pf_cfg))(keys)
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _instance_jits(cfg: GPMDMConfig, pf_cfg: PFConfig):
     """Jitted (step, masked-scan) pair shared across GPMDM_PF instances with
-    the same static configs; log_T is a runtime argument."""
+    the same static configs; log_T is a runtime argument.  Bounded LRU: an
+    unbounded cache would retain every compiled executable for process
+    lifetime across config sweeps."""
 
     @jax.jit
     def _step(state, z, post, params, log_T):

@@ -117,7 +117,11 @@ def pca_init_x(Y: np.ndarray, d: int) -> np.ndarray:
     flip, project.  The flip follows sklearn's V-based convention
     (``svd_flip(u_based_decision=False)``: per component, the max-|v|
     entry of the right singular vector is made positive) — verified
-    bit-for-bit against sklearn in tests/test_reference_parity.py."""
+    bit-for-bit against scikit-learn >= 1.5 in
+    tests/test_reference_parity.py.  Older sklearn (< 1.5) used the
+    U-based flip, so latents compared against a reference run on an old
+    sklearn may be per-component sign-mirrored (a symmetry of the model:
+    the NLL and all predictions are invariant)."""
     Y = np.asarray(Y, dtype=np.float64)
     Yc = Y - Y.mean(axis=0, keepdims=True)
     U, S, Vt = np.linalg.svd(Yc, full_matrices=False)

@@ -128,7 +128,12 @@ def _default_tile_p(Npad: int) -> int:
     for tp in (1024, 512, 256, 128):
         if tp <= budget:
             return tp
-    return 128
+    raise ValueError(
+        f"training-set axis too large for the fused kernel's VMEM budget "
+        f"(Npad={Npad}: even a 128-wide particle tile needs "
+        f"{Npad * 128 * 4 / 2**20:.0f} MB of scratch); use PFConfig("
+        f"pallas='off') or the sparse model family at this scale"
+    )
 
 
 def _fused_posterior(

@@ -20,13 +20,10 @@ collective.  Exact (tested equal to the single-device path on a CPU mesh).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import GPMDMConfig
 from ..models import core
