@@ -140,3 +140,30 @@ def test_sparse_precompute_host_matches_jitted():
             np.asarray(getattr(jitted, f)),
             rtol=1e-6, atol=1e-8, err_msg=f,
         )
+
+
+def test_sparse_hour_long_sequences():
+    """The long-context config (BASELINE: 'sparse/inducing-point GPMDM on
+    hour-long sequences'): Ny = 21,600 training frames (2 x 10,800 = one
+    hour per class at 3 fps) — far past exact-GP feasibility (a 21.6k
+    Cholesky) — trains in O(N M^2) and drives the particle filter."""
+    rng_len = 10_800
+    tr0 = synthetic.make_cycle(rng_len, 0, 8, noise=0.05)
+    tr1 = synthetic.make_cycle(rng_len, 1, 8, noise=0.05)
+    m = SparseGPMDM(
+        D=8, d=2, n_classes=2, dtype="float32",
+        y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+        n_inducing_y=64, n_inducing_x=64,
+    )
+    m.add_data(tr0, 0)
+    m.add_data(tr1, 1)
+    m.init_X()
+    assert m.layout.Ny == 2 * rng_len
+    losses = m.train_adam(num_opt_steps=15, lr=0.01)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # the filter streams against the sparse posterior (M-sized state, not N)
+    te = synthetic.make_cycle(120, 1, 8, noise=0.05, phase=1.0)
+    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=100, seed=0)
+    outs = flt.run(te)
+    assert np.isfinite(np.asarray(outs.class_probs)).all()
