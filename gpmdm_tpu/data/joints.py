@@ -4,6 +4,10 @@ Same constants as the reference (`/root/reference/dataset_utils/
 select_joints.py:5-61`): the full 31-joint list, digit joints, the reduced
 set, and the walking-simplified set (35 DOFs) used for all published GPMDM
 experiments.
+
+These are DATA, not code: the joint names are the CMU mocap skeleton's
+standard bone names and the subsets must match the reference exactly for
+experiment parity — any 'rewrite' would be wrong.
 """
 
 from __future__ import annotations

@@ -2,7 +2,9 @@
 
 Same subject/trial ids and split as the reference
 (`/root/reference/dataset_utils/mocap_labels.py:7-30`; split generated once
-by its ``test_train.ipynb`` and frozen).  Design difference: the reference
+by its ``test_train.ipynb`` and frozen).  The id tables are DATA — they
+must match the reference verbatim or the published train/test split (and
+every number derived from it) changes.  Design difference: the reference
 parses all 58 trials eagerly at *import time* (mocap_labels.py:56-62); here
 loading is lazy and cached — importing this module costs nothing, and the
 mocap directory is resolved at load time from ``mocap_dir`` /
