@@ -2,7 +2,7 @@
 
 from .mesh import make_mesh, make_train_mesh, round_up
 from .pf_bank import pf_scan_bank_sharded, shard_bank_state
-from .sp_predict import predict_y_rowsharded
+from .sp_predict import predict_x_all_classes_rowsharded, predict_y_rowsharded
 from .sharded import (
     ShardedTrainContext,
     make_context,
@@ -18,6 +18,7 @@ __all__ = [
     "round_up",
     "pf_scan_bank_sharded",
     "predict_y_rowsharded",
+    "predict_x_all_classes_rowsharded",
     "shard_bank_state",
     "ShardedTrainContext",
     "make_context",

@@ -75,3 +75,67 @@ def predict_y_rowsharded(
     diag_common = jnp.maximum(diag - quad, 1e-9)
     var = diag_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
     return mean, var
+
+
+def predict_x_all_classes_rowsharded(
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    Xstar: jax.Array,
+    cfg: GPMDMConfig,
+    mesh: Mesh,
+    axis: str = "sp",
+    with_noise: bool = False,
+):
+    """Row-sharded per-class dynamics posterior == core.predict_x_all_classes.
+
+    Shards the padded per-class pair axis (n_max) over the mesh: each device
+    holds (C, n_max/n, ...) slices of Xin_c / Axc / mask and the matching
+    Kxc_inv row slices.  One tiled all_gather of the masked star kernel per
+    class batch, then local contraction + psum.  n_max must be divisible by
+    the mesh axis size.
+    """
+    n = mesh.shape[axis]
+    n_max = post.Xin_c.shape[1]
+    if n_max % n != 0:
+        raise ValueError(f"n_max={n_max} not divisible by |{axis}|={n}")
+
+    def local(Xin_sh, mask_sh, Kinv_rows, Axc_sh, Xstar):
+        # Xin_sh (C, n_max/n, din); Kinv_rows (C, n_max/n, n_max);
+        # Axc_sh (C, n_max/n, d)
+        def per_class(Xin_b, m_b, Kinv_b, Axc_b):
+            ks_loc = K.x_kernel(
+                Xin_b, Xstar, params.x_log_lengthscales, params.x_log_sigma_n,
+                params.x_log_lin_coeff, with_noise=False,
+            ) * m_b[:, None]  # (n_max/n, P)
+            mean_part = jnp.matmul(
+                ks_loc.T, Axc_b, precision=jax.lax.Precision.HIGHEST
+            )  # (P, d)
+            return ks_loc, mean_part
+
+        ks_loc, mean_part = jax.vmap(per_class)(Xin_sh, mask_sh, Kinv_rows, Axc_sh)
+        ks_full = jax.lax.all_gather(ks_loc, axis, axis=1, tiled=True)  # (C, n_max, P)
+        kik_loc = jnp.einsum(
+            "cmn,cnp->cmp", Kinv_rows, ks_full, precision=jax.lax.Precision.HIGHEST
+        )  # (C, n_max/n, P)
+        quad_part = jnp.sum(ks_loc * kik_loc, axis=1)  # (C, P)
+        return jax.lax.psum(mean_part, axis), jax.lax.psum(quad_part, axis)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),
+            P(None, axis),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(),
+        ),
+        out_specs=(P(), P()),
+    )
+    mean, quad = fn(post.Xin_c, post.mask_c, post.Kxc_inv, post.Axc, Xstar)
+    diag = K.x_diag_kernel(
+        Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
+    )
+    diag_common = jnp.maximum(diag[None, :] - quad, 1e-9)  # (C, P)
+    var = diag_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
+    return mean, var

@@ -162,3 +162,27 @@ def test_rowsharded_predict_matches_single_device():
     m2.init_X()
     with _pytest.raises(ValueError):
         predict_y_rowsharded(m2.posterior, m2.params, Xstar, m2.config, bad_mesh)
+
+
+def test_rowsharded_dynamics_matches_single_device():
+    """Row-sharded per-class dynamics posterior == single-device
+    predict_x_all_classes (pair axis sharded over 8 devices)."""
+    from gpmdm_tpu.parallel.sp_predict import predict_x_all_classes_rowsharded
+
+    # n_max divisible by 8: seq_len 17 -> 16 pairs per seq, 2 seqs -> 32
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=17, D=7, seed=29
+    )
+    m = GPMDM(D=7, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    assert m.layout.n_max % 8 == 0
+    mesh = make_mesh({"sp": 8})
+    Xstar = jnp.asarray(np.random.default_rng(2).normal(size=(11, 2)))
+    mean_sh, var_sh = predict_x_all_classes_rowsharded(
+        m.posterior, m.params, Xstar, m.config, mesh
+    )
+    mean, var = core.predict_x_all_classes(m.posterior, m.params, Xstar, m.config)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-8, atol=1e-12)
