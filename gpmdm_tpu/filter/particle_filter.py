@@ -23,8 +23,14 @@ TPU-native re-design of the reference ``GPMDM_PF``
   independent filters vmap over a leading axis (:func:`pf_scan_bank`).
 
 Readouts (class posterior, observation log-likelihood, state mean) are
-computed *before* resampling each step, matching the reference's semantics
-(its ``_resample`` does not touch the weights the readouts use).
+computed *before* resampling each step, so particle states/classes and the
+likelihood weights they are paired with are coherent.  This is a **fixed
+deviation** from the reference: its readouts, called after ``update()``,
+pair POST-resample ``_particle_classes``/``_particle_states`` with
+PRE-resample ``_log_likelihoods``/``_log_weights`` (``_resample`` permutes
+the particles but not the weight arrays, gpmdm_pf.py:206-262).  In
+expectation the two agree (resampling draws from the weighted distribution),
+but per-step values differ; see docs/PARITY.md.
 
 Known reference quirks, handled via PFConfig flags (see config.py):
 - double-counted log-determinant in the observation likelihood
@@ -235,6 +241,13 @@ def pf_step(
         )  # (P,)
         m_list, v_list = [], []
         for ci in range(post.Xin_c.shape[0]):  # static unroll; C is small
+            # n_valid = n_max disables the kernel's row mask: the per-class
+            # valid count is a traced quantity here (layout.class_x_counts
+            # is host-side, Posterior is a jit pytree), so correctness
+            # relies on precompute's zero-padding contract instead —
+            # rows >= count of Axc[ci]/Kxc_inv[ci] are exactly zero, which
+            # annihilates the unmasked star-kernel rows (see
+            # fused_x_posterior's padding note and core.precompute).
             mean_ci, quad_ci = fused_x_posterior(
                 post.Xin_c[ci],
                 xin,

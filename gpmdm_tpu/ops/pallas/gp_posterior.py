@@ -236,8 +236,15 @@ def fused_x_posterior(
 
     Star kernel = RBF + homogeneous linear ([x,1] diag(w^2) [x',1]^T,
     reference gpmdm.py:520-548); ``lin_w = exp(x_log_lin_coeff)`` with the
-    last entry the bias weight.  Rows >= n_valid (class padding) are exactly
-    zero.  Callers unroll the small class axis.
+    last entry the bias weight.  Star-kernel rows >= n_valid are masked to
+    exactly zero.  Callers unroll the small class axis.
+
+    Padding contract: callers whose valid count is only known as a traced
+    value (e.g. the particle filter) pass ``n_valid = Xin_c.shape[0]``
+    (mask disabled) and instead rely on ``core.precompute`` zero-padding
+    ``Axc``/``Kxc_inv`` beyond the class's true pair count — zero weight
+    rows annihilate the unmasked star-kernel rows, giving the same result.
+    If that padding invariant ever changes, those call sites break.
     """
     xt = Xin_c * inv_lengthscales
     xs = Xstar * inv_lengthscales

@@ -23,6 +23,7 @@ and only needed there).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -85,6 +86,14 @@ def save_model(model, file_path) -> None:
     )
     file_path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(file_path, **arrays)
+    # np.savez silently appends '.npz' when the suffix is absent, which
+    # would leave model.save('foo.ckpt') writing 'foo.ckpt.npz' while
+    # load('foo.ckpt') fails.  Move the written file to the requested path
+    # (the reference torch.save writes exactly at the given path).
+    if file_path.suffix != ".npz":
+        written = file_path.with_name(file_path.name + ".npz")
+        if written.exists():
+            os.replace(written, file_path)
 
 
 def load_model(cls, file_path):

@@ -144,3 +144,14 @@ def test_checked_helper_with_static_args():
     Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
     loss = checked(core.nll, m.params, Y, m.config, m.layout)
     assert np.isfinite(float(loss))
+
+
+def test_save_load_non_npz_suffix(tmp_path):
+    """save('foo.ckpt') must write exactly at 'foo.ckpt' so load('foo.ckpt')
+    finds it (np.savez silently appends '.npz' otherwise)."""
+    m = small_model()
+    path = tmp_path / "model.ckpt"
+    m.save(path)
+    assert path.exists() and not (tmp_path / "model.ckpt.npz").exists()
+    m2 = GPMDM.load(path)
+    np.testing.assert_allclose(np.asarray(m2.params.X), np.asarray(m.params.X))
