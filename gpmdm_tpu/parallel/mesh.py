@@ -35,14 +35,28 @@ def make_mesh(axis_sizes: dict[str, int] | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(sizes), names)
 
 
-def make_train_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """('ep', 'tp') training mesh: factor the device count into a small
-    expert axis (2 when even, else 1) and a tensor axis with the rest."""
+def make_train_mesh(
+    n_devices: int | None = None, devices=None, n_classes: int | None = None
+) -> Mesh:
+    """('ep', 'tp') training mesh, shape-aware.
+
+    With ``n_classes`` given, the expert axis takes the largest class-count
+    factor that divides the device count — ``ep = gcd(n_classes, n)`` — so
+    per-class Gram/Cholesky work spreads maximally (e.g. 8 classes on 8
+    devices → a pure ep=8 mesh); the remaining devices go to the tensor
+    (observation-column) axis.  Without it, falls back to a small fixed
+    expert axis (2 when even, else 1).
+    """
+    import math
+
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    ep = 2 if n % 2 == 0 and n >= 2 else 1
+    if n_classes is not None and n_classes >= 1:
+        ep = math.gcd(n_classes, n)
+    else:
+        ep = 2 if n % 2 == 0 and n >= 2 else 1
     return make_mesh({"ep": ep, "tp": n // ep}, devices)
 
 

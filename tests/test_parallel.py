@@ -186,3 +186,36 @@ def test_rowsharded_dynamics_matches_single_device():
     mean, var = core.predict_x_all_classes(m.posterior, m.params, Xstar, m.config)
     np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean), rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-8, atol=1e-12)
+
+
+def test_make_train_mesh_shape_aware():
+    """ep = gcd(n_classes, n_devices): 8 classes on 8 devices get a pure
+    expert mesh; odd class counts fall back gracefully; the default
+    heuristic is unchanged."""
+    mesh = make_train_mesh(8, n_classes=8)
+    assert mesh.shape == {"ep": 8, "tp": 1}
+    mesh = make_train_mesh(8, n_classes=4)
+    assert mesh.shape == {"ep": 4, "tp": 2}
+    mesh = make_train_mesh(8, n_classes=3)
+    assert mesh.shape == {"ep": 1, "tp": 8}
+    mesh = make_train_mesh(8, n_classes=6)
+    assert mesh.shape == {"ep": 2, "tp": 4}
+    mesh = make_train_mesh(8)  # no class info: legacy (2, 4)
+    assert mesh.shape == {"ep": 2, "tp": 4}
+
+
+def test_sharded_nll_matches_on_class_aware_mesh(model):
+    """The gcd mesh (ep=1 for C=3 on 8 devices) still reproduces the
+    single-device loss; so does a pure-ep mesh when classes divide devices."""
+    m = model
+    mesh = make_train_mesh(8, n_classes=m.config.n_classes)  # ep=1, tp=8
+    ctx = make_context(m.config, m.layout, mesh)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    got = nll_sharded(m.params, pad_Y(Y, ctx), ctx)
+    want = core.nll(m.params, Y, m.config, m.layout)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+    mesh = make_mesh({"ep": 8, "tp": 1})  # pure expert mesh, C=3 padded to 8
+    ctx = make_context(m.config, m.layout, mesh)
+    got = nll_sharded(m.params, pad_Y(Y, ctx), ctx)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
