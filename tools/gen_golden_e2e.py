@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Generate the golden end-to-end regression file from the ACTUAL reference.
+
+CMU mocap cannot be fetched in this environment (zero egress), so the
+strongest available evidence that this framework reproduces the reference's
+published evaluation pipeline (notebooks/test_gpmdm_pf.ipynb cells 4-5:
+train -> stream test trials through the PF -> confusion matrices / F1) is a
+golden regression against the reference *code* on a frozen synthetic
+dataset:
+
+1. build the frozen two-class limit-cycle dataset,
+2. train the reference implementation (/root/reference, torch float64),
+3. stream the frozen test trials through the reference GPMDM_PF,
+4. record its final training loss, confusion matrices, and frame/trial
+   metrics into tests/golden/e2e_synthetic.json (committed),
+5. also run OUR pipeline over several PF seeds and record the spread, so
+   the CI tolerance is calibrated from measurement, not guessed.
+
+tests/test_golden_e2e.py then reproduces the same pipeline with this
+framework on every CI run and checks the committed golden numbers.
+
+Usage: python tools/gen_golden_e2e.py  (requires /root/reference)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path("/root/reference")
+sys.path.insert(0, str(REPO))
+
+# ---- frozen experiment config (mirrored in tests/test_golden_e2e.py) ----
+# seq_len kept at 40: with longer training sequences the learned kernels
+# sharpen enough that the reference's own PF crashes on numerically
+# negative predictive variance (torch.normal, gpmdm_pf.py:168 — it never
+# clamps).  The test set is widened instead for stable frame metrics.
+DATASET = dict(
+    n_classes=2, n_train_seqs=3, n_test_seqs=8, seq_len=40, D=10, seed=42
+)
+# sigma_n_num_X > 0: the reference's torch.normal crashes on (numerically)
+# negative dynamics predictive variance without this jitter (its own ctor
+# knob, gpmdm.py:232-234).
+MODEL = dict(
+    D=10, d=2, n_classes=2, dyn_target="full", dyn_back_step=1,
+    y_sigma_n_init=1e-2, x_sigma_n_init=1e-2, sigma_n_num_X=1e-3,
+)
+TRAIN_STEPS, LR = 200, 0.01
+T_MATRIX = [[0.9, 0.1], [0.1, 0.9]]
+N_PARTICLES = 100
+
+
+def _import_reference():
+    if "torchtyping" not in sys.modules:
+        tt = types.ModuleType("torchtyping")
+
+        class _TT:
+            def __getitem__(self, item):
+                return object
+
+        tt.TensorType = _TT()
+        sys.modules["torchtyping"] = tt
+    sys.path.insert(0, str(REF))
+    from gpmdm import GPMDM as RefGPMDM, GPMDM_PF as RefPF
+
+    return RefGPMDM, RefPF
+
+
+def dataset():
+    from gpmdm_tpu.data import synthetic
+
+    return synthetic.make_dataset(**DATASET)
+
+
+def dataset_sha(tr, tl, te, tel) -> str:
+    h = hashlib.sha256()
+    for s in tr + te:
+        h.update(np.ascontiguousarray(np.asarray(s, dtype=np.float64)).tobytes())
+    h.update(bytes(tl) + bytes(tel))
+    return h.hexdigest()[:16]
+
+
+def eval_reference_pf(ref, RefPF, te, tel, torch_seed: int = 0) -> dict:
+    import torch
+
+    from gpmdm_tpu.utils.metrics import binary_prf, confusion_matrix
+
+    torch.manual_seed(torch_seed)
+    T = torch.tensor(T_MATRIX, dtype=ref.dtype)
+    flt = RefPF(ref, T, num_particles=N_PARTICLES)
+    frame_pred, frame_true, trial_pred, trial_true = [], [], [], []
+    for Z, label in zip(te, tel):
+        flt.reset()
+        preds = []
+        for z in np.asarray(Z, dtype=np.float64):
+            flt.update(z)
+            preds.append(int(flt.get_most_likely_class()))
+        frame_pred += preds
+        frame_true += [label] * len(preds)
+        trial_pred.append(int(np.bincount(preds, minlength=2).argmax()))
+        trial_true.append(label)
+    fcm = confusion_matrix(np.asarray(frame_pred), np.asarray(frame_true), 2)
+    tcm = confusion_matrix(np.asarray(trial_pred), np.asarray(trial_true), 2)
+    return {
+        "frame_confusion": fcm.tolist(),
+        "trial_confusion": tcm.tolist(),
+        "frame_metrics": binary_prf(fcm),
+        "trial_metrics": binary_prf(tcm),
+    }
+
+
+def eval_ours(m, te, tel, seed: int) -> dict:
+    from gpmdm_tpu import GPMDM_PF, PFConfig
+    from gpmdm_tpu.utils.metrics import binary_prf, confusion_matrix
+
+    pfc = PFConfig(
+        num_particles=N_PARTICLES,
+        resampling="multinomial",
+        compat_double_logdet=True,
+    )
+    flt = GPMDM_PF(m, T_MATRIX, num_particles=N_PARTICLES, config=pfc, seed=seed)
+    frame_pred, frame_true, trial_pred, trial_true = [], [], [], []
+    for Z, label in zip(te, tel):
+        flt.reset()
+        preds = np.asarray(flt.run(np.asarray(Z)).most_likely_class).tolist()
+        frame_pred += preds
+        frame_true += [label] * len(preds)
+        trial_pred.append(int(np.bincount(preds, minlength=2).argmax()))
+        trial_true.append(label)
+    fcm = confusion_matrix(np.asarray(frame_pred), np.asarray(frame_true), 2)
+    tcm = confusion_matrix(np.asarray(trial_pred), np.asarray(trial_true), 2)
+    return {
+        "frame_confusion": fcm.tolist(),
+        "trial_confusion": tcm.tolist(),
+        "frame_metrics": binary_prf(fcm),
+        "trial_metrics": binary_prf(tcm),
+    }
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    RefGPMDM, RefPF = _import_reference()
+    import torch
+
+    from gpmdm_tpu import GPMDM
+
+    tr, tl, te, tel = dataset()
+    sha = dataset_sha(tr, tl, te, tel)
+    print(f"dataset sha {sha}: {len(tr)} train seqs, {len(te)} test seqs")
+
+    kw = dict(
+        **MODEL,
+        y_lambdas_init=np.ones(MODEL["D"]),
+        y_lengthscales_init=np.ones(MODEL["d"]),
+        x_lambdas_init=np.ones(MODEL["d"]),
+        x_lengthscales_init=np.ones(MODEL["d"]),
+        x_lin_coeff_init=np.ones(MODEL["d"] + 1),
+    )
+    ref = RefGPMDM(**kw)
+    ours = GPMDM(dtype="float64", **kw)
+    for Y, c in zip(tr, tl):
+        ref.add_data(np.asarray(Y, dtype=np.float64), c)
+        ours.add_data(np.asarray(Y, dtype=np.float64), c)
+    ref.init_X()
+    ours.init_X()
+
+    print(f"training reference {TRAIN_STEPS} steps ...")
+    ref_losses = [float(l) for l in ref.train_adam(num_opt_steps=TRAIN_STEPS, lr=LR)]
+    print(f"training ours {TRAIN_STEPS} steps ...")
+    our_losses = [float(l) for l in ours.train_adam(num_opt_steps=TRAIN_STEPS, lr=LR)]
+    loss_gap = abs(our_losses[-1] - ref_losses[-1]) / abs(ref_losses[-1])
+    print(f"final loss ref {ref_losses[-1]:.6e} ours {our_losses[-1]:.6e} "
+          f"(rel gap {loss_gap:.2e})")
+
+    print("evaluating reference PF (3 torch seeds) ...")
+    ref_evals = []
+    for seed in range(3):
+        e = eval_reference_pf(ref, RefPF, te, tel, torch_seed=seed)
+        ref_evals.append(e)
+        print(f"  ref seed {seed}: {e['frame_metrics']}")
+    ref_eval = ref_evals[0]
+
+    our_evals = []
+    for seed in range(5):
+        e = eval_ours(ours, te, tel, seed)
+        our_evals.append(e)
+        print(f"  ours seed {seed}: {e['frame_metrics']}")
+
+    accs = [e["frame_metrics"]["accuracy"] for e in our_evals]
+    f1s = [e["frame_metrics"]["f1"] for e in our_evals]
+
+    golden = {
+        "description": (
+            "Golden end-to-end regression vs the actual reference "
+            "implementation (train + PF eval on the frozen synthetic "
+            "dataset). Generated by tools/gen_golden_e2e.py."
+        ),
+        "dataset": DATASET,
+        "dataset_sha": sha,
+        "model": MODEL,
+        "train": {"steps": TRAIN_STEPS, "lr": LR},
+        "pf": {
+            "particles": N_PARTICLES,
+            "T": T_MATRIX,
+            "resampling": "multinomial",
+            "compat_double_logdet": True,
+            "torch_seed": 0,
+        },
+        "reference": {
+            "loss_first": ref_losses[0],
+            "loss_final": ref_losses[-1],
+            **ref_eval,
+            "frame_acc_per_seed": [
+                e["frame_metrics"]["accuracy"] for e in ref_evals
+            ],
+            "frame_f1_per_seed": [e["frame_metrics"]["f1"] for e in ref_evals],
+        },
+        "ours_at_generation": {
+            "loss_final": our_losses[-1],
+            "loss_rel_gap": loss_gap,
+            "frame_acc_per_seed": accs,
+            "frame_f1_per_seed": f1s,
+        },
+    }
+    out = REPO / "tests" / "golden" / "e2e_synthetic.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(golden, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
