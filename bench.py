@@ -23,7 +23,10 @@ import numpy as np
 REFERENCE_FPS = 12.78  # reference published throughput (100 particles, CPU)
 
 N_PARTICLES = 10_000
-N_FRAMES = 200
+# 1000 frames per timed scan: each dispatch over the TPU tunnel costs
+# ~25 ms RTT, which at 200 frames inflated per-frame time by ~0.13 ms
+# (~20%); 1000 frames amortizes it below 3%.
+N_FRAMES = 1000
 D, d, N_CLASSES = 35, 2, 2
 TRAIN_SEQS_PER_CLASS, SEQ_LEN = 4, 60  # Ntrain = 480 frames
 

@@ -87,8 +87,14 @@ def amc_path(subject: int, trial: int, mocap_dir: Path | None = None) -> Path:
 
 
 def available(mocap_dir: Path | None = None) -> bool:
-    """Whether the CMU mocap directory is present."""
-    return (Path(mocap_dir or default_mocap_dir()) / "subjects").is_dir()
+    """Whether the CMU mocap data is actually present.
+
+    Checks for a skeleton file, not just the directory: an aborted
+    tools/fetch_cmu.py run (e.g. offline) leaves empty subject directories
+    behind, and a bare is_dir() check would then send every loader into
+    FileNotFoundError instead of the synthetic fallback."""
+    subjects = Path(mocap_dir or default_mocap_dir()) / "subjects"
+    return subjects.is_dir() and any(subjects.glob("*/*.asf"))
 
 
 def load_trials(

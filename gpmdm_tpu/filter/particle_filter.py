@@ -73,6 +73,23 @@ def _use_pallas(post, pf_cfg) -> bool:
     )
 
 
+def _use_pallas_obs(post, pf_cfg) -> bool:
+    """Gate for the fully-fused observation-weighting kernel
+    (fused_obs_loglik) — same policy as the dynamics gate: the stage is
+    dominated by the (N, N) x (N, P) variance-quad matmul either way, so
+    fusing only pays once the (N, P) star-kernel intermediates XLA would
+    spill to HBM get large (measured: wash at N=480, fused wins at N>=1k).
+    """
+    if pf_cfg.pallas == "on":
+        return isinstance(post, core.Posterior)
+    return (
+        pf_cfg.pallas == "auto"
+        and isinstance(post, core.Posterior)
+        and jax.default_backend() == "tpu"
+        and 1024 <= post.X.shape[0] <= 16 * 1024
+    )
+
+
 def _predictors(post):
     """Posterior-backend dispatch: the filter runs unchanged on the exact GP
     posterior (core.Posterior) or the sparse SGPR posterior
@@ -177,20 +194,31 @@ def observation_log_lik(
     return -0.5 * quad - logdet_coeff * logdet - 0.5 * D * _LOG_2PI
 
 
+# Above this particle count, searchsorted(method='compare_all') — a dense
+# (P, P) comparison matrix the VPU chews through tile-fused — loses to the
+# O(P log^2 P) sort lowering.  Measured on v5e at P=10k: compare_all
+# ~0.10 ms vs sort ~0.23 ms in-context; quadratic growth crosses over in
+# the tens of thousands.
+_COMPARE_ALL_MAX_P = 16384
+
+
 def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
     """Systematic (low-variance) resampling: one uniform draw, sorted
-    positions, O(P) searchsorted.  TPU-friendly replacement for per-frame
-    multinomial resampling (reference gpmdm_pf.py:206-213)."""
+    positions, one searchsorted.  TPU-friendly replacement for per-frame
+    multinomial resampling (reference gpmdm_pf.py:206-213).
+
+    searchsorted lowering matters enormously on TPU: the default binary
+    search is log2(P) rounds of dynamic gathers (~1.1 ms/frame at P=10k),
+    'sort' is one merge-sort (~0.23 ms), and 'compare_all' — dense (P, P)
+    comparisons, pure VPU work with no data movement — wins below
+    ~16k particles (~0.10 ms).  All three return identical indices."""
     P = log_w.shape[0]
     w = jax.nn.softmax(log_w)
     cum = jnp.cumsum(w)
     u = jax.random.uniform(key, (), dtype=w.dtype)
     positions = (u + jnp.arange(P, dtype=w.dtype)) / P
-    # method='sort' lowers to one merge-sort instead of log2(P) rounds of
-    # dynamic gathers — the default binary-search lowering dominated the
-    # whole PF step on TPU (measured ~1.1 ms/frame at P=10k; see
-    # ARCHITECTURE.md).
-    idx = jnp.searchsorted(cum, positions, method="sort")
+    method = "compare_all" if P <= _COMPARE_ALL_MAX_P else "sort"
+    idx = jnp.searchsorted(cum, positions, method=method)
     return jnp.clip(idx, 0, P - 1).astype(jnp.int32)
 
 
@@ -218,9 +246,18 @@ def pf_step(
     key, k_trans, k_dyn, k_res = jax.random.split(state.key, 4)
 
     # 1. Markov class transition: sample next class from T[c] per particle
-    #    (reference gpmdm_pf.py:137-151).
-    logits = log_T[state.c]  # (P, C)
-    c = jax.random.categorical(k_trans, logits).astype(jnp.int32)
+    #    (reference gpmdm_pf.py:137-151).  Inverse-CDF sampling — one
+    #    uniform per particle compared against the particle's cumulative
+    #    transition row — instead of jax.random.categorical: Gumbel-max
+    #    needs (P, C) noise + argmax and measured ~3x slower on TPU for
+    #    the same distribution.
+    C = log_T.shape[0]
+    cum_T = jnp.cumsum(jnp.exp(log_T), axis=1)  # (C, C), rows end at 1
+    onehot_c = jax.nn.one_hot(state.c, C, dtype=cum_T.dtype)  # (P, C)
+    row_cum = jnp.matmul(onehot_c, cum_T, precision=_PREC)  # (P, C)
+    u_trans = jax.random.uniform(k_trans, (P,), dtype=cum_T.dtype)
+    c = jnp.sum(u_trans[:, None] >= row_cum, axis=1).astype(jnp.int32)
+    c = jnp.minimum(c, C - 1)
 
     # 2. Dynamics propagation: evaluate every class's GP for every particle,
     #    select by class, sample from the predictive Gaussian
@@ -277,30 +314,37 @@ def pf_step(
     x_new = state.x + prop if cfg.dyn_target == "delta" else prop
 
     # 3. Observation weighting (reference gpmdm_pf.py:170-204).  On TPU with
-    #    the exact posterior, the star kernel + mean + variance-quad pipeline
-    #    runs as one fused Pallas kernel (no (N, P) intermediates in HBM).
-    if use_pallas and isinstance(post, core.Posterior):
-        from ..ops.pallas.gp_posterior import fused_rbf_posterior
+    #    the exact posterior, the WHOLE stage — star kernel, posterior mean,
+    #    weighted residual, variance quad — runs as one fused Pallas kernel
+    #    (fused_obs_loglik): the (P, D) mean never reaches HBM, only two
+    #    (P,) vectors do, and the diagonal-Gaussian log-pdf reduces to
+    #    elementwise math on those.
+    if _use_pallas_obs(post, pf_cfg):
+        from ..ops.pallas.gp_posterior import fused_obs_loglik
         from ..ops import kernels as _K
 
-        mean_y, quad = fused_rbf_posterior(
+        quad, qres = fused_obs_loglik(
             post.X,
             x_new,
             post.Ay,
             post.Ky_inv,
             jnp.exp(-params.y_log_lengthscales),
+            z,
+            jnp.exp(2.0 * params.y_log_lambdas),
         )
         diag = _K.y_diag_kernel(x_new, params.y_log_sigma_n, cfg.sigma_n_num_Y, False)
-        var_common = diag - quad
-        var_y = (
-            var_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
-        ).astype(mean_y.dtype)
+        var_c = jnp.maximum(diag - quad, 1e-12)
+        coeff = 1.0 if pf_cfg.compat_double_logdet else 0.5
+        logdet = cfg.D * jnp.log(var_c) - 2.0 * jnp.sum(params.y_log_lambdas)
+        log_lik = -0.5 * qres / var_c - coeff * logdet - 0.5 * cfg.D * _LOG_2PI
     else:
         mean_y, var_y = predict_y(
             post, params, x_new, cfg, precision=pf_cfg.lax_precision
         )  # (P, D)
-    var_y = jnp.maximum(var_y, 1e-12)
-    log_lik = observation_log_lik(z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet)
+        var_y = jnp.maximum(var_y, 1e-12)
+        log_lik = observation_log_lik(
+            z, mean_y, var_y, cfg.D, pf_cfg.compat_double_logdet
+        )
     # Dead-particle guard: a particle that diverged off the manifold (the
     # linear dynamics kernel extrapolates, so |x| can grow exponentially
     # and overflow f32) gets likelihood zero instead of poisoning the

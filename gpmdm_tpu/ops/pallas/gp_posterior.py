@@ -189,6 +189,146 @@ def _fused_posterior(
     return mean[:P, :D], quad[:P, 0]
 
 
+def _obs_loglik_kernel(
+    zl_ref,
+    xs_ref,
+    xt_ref,
+    ay_ref,
+    kinv_ref,
+    quad_ref,
+    qres_ref,
+    kstar_ref,
+    mean_ref,
+    *,
+    n_valid: int,
+    n_dims: int,
+):
+    """Fully-fused observation weighting: star kernel -> mean -> weighted
+    residual + variance quad, all in VMEM.  The (P, D) posterior mean never
+    reaches HBM; only two (P,) vectors leave the kernel.
+
+    zl_ref:   (8, Dpad) row 0 = observation z, row 1 = lambda^2 (both
+              zero-padded; padded dims contribute exactly 0 to the residual)
+    xs_ref:   (TP, dpad)  particle tile, pre-scaled by 1/lengthscale
+    xt_ref:   (Npad, dpad) training inputs, pre-scaled, full
+    ay_ref:   (Npad, Dpad) predictive weights, full
+    kinv_ref: (TN, Npad)  row tile of Kinv
+    quad_ref: (TP, 128)   out: variance quad (col 0)
+    qres_ref: (TP, 128)   out: sum_j lambda_j^2 (mean_j - z_j)^2 (col 0)
+    kstar_ref:(Npad, TP)  VMEM scratch: this particle tile's Kstar
+    mean_ref: (TP, Dpad)  VMEM scratch: this particle tile's posterior mean
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _first():
+        xs = xs_ref[:]
+        xt = xt_ref[:]
+        Npad, TP = xt.shape[0], xs.shape[0]
+        sq = jnp.zeros((Npad, TP), dtype=jnp.float32)
+        for k in range(n_dims):  # static unroll; see _kernel for rationale
+            diff = xt[:, k][:, None] - xs[:, k][None, :]
+            sq = sq + diff * diff
+        ks = jnp.exp(-sq)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
+        ks = jnp.where(row_ids < n_valid, ks, 0.0)
+        kstar_ref[:] = ks
+        mean_ref[:] = jax.lax.dot_general(
+            ks, ay_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        quad_ref[:] = jnp.zeros_like(quad_ref)
+
+    TN = kinv_ref.shape[0]
+    row0 = j * TN
+    ki = kinv_ref[:]
+    ks_rows = kstar_ref[pl.ds(row0, TN), :]
+    kik = jax.lax.dot_general(
+        ki, kstar_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    quad_ref[:] += jnp.sum(ks_rows * kik, axis=0)[:, None]
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _last():
+        z = zl_ref[0, :][None, :]  # (1, Dpad)
+        lam2 = zl_ref[1, :][None, :]  # (1, Dpad)
+        diff = mean_ref[:] - z  # (TP, Dpad); exact residual, no cancellation
+        qres = jnp.sum(lam2 * diff * diff, axis=1)[:, None]
+        qres_ref[:] = jnp.broadcast_to(qres, qres_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
+def fused_obs_loglik(
+    Xtrain: jax.Array,
+    Xstar: jax.Array,
+    Ay: jax.Array,
+    Kinv: jax.Array,
+    inv_lengthscales: jax.Array,
+    z: jax.Array,
+    lam2: jax.Array,
+    tile_p: int = 0,
+    tile_n: int = 128,
+):
+    """Fused observation-weighting pass: (quad (P,), qres (P,)).
+
+    quad = sum(Kstar * (Kinv Kstar), 0)           (variance quad term)
+    qres = sum_j lambda_j^2 (mean_j - z_j)^2      (weighted residual)
+    with mean = Kstar^T Ay computed in VMEM and never materialized in HBM
+    (the unfused path writes a (P, Dpad) mean per frame — ~5 MB at P=10k).
+    The caller turns these into the diagonal-Gaussian log-likelihood:
+    ll = -qres/(2 var_c) - coeff*(D log var_c - 2 sum log lambda) - const,
+    var_c = kdiag - quad.
+    """
+    N, P, D = Xtrain.shape[0], Xstar.shape[0], Ay.shape[1]
+    d = Xtrain.shape[1]
+    f32 = jnp.float32
+
+    Npad = _round_up(max(N, 1), max(tile_n, 128))
+    if tile_p == 0:
+        tile_p = _default_tile_p(Npad)
+    Ppad = _round_up(max(P, 1), tile_p)
+    Dpad = _round_up(max(D, 1), 128)
+    dpad = _round_up(max(d, 1), 128)
+
+    xt = jnp.pad((Xtrain * inv_lengthscales).astype(f32),
+                 ((0, Npad - N), (0, dpad - d)))
+    xs = jnp.pad((Xstar * inv_lengthscales).astype(f32),
+                 ((0, Ppad - P), (0, dpad - d)))
+    ay = jnp.pad(Ay.astype(f32), ((0, Npad - N), (0, Dpad - D)))
+    kinv = jnp.pad(Kinv.astype(f32), ((0, Npad - N), (0, Npad - N)))
+    zl = jnp.zeros((8, Dpad), dtype=f32)
+    zl = zl.at[0, :D].set(z.astype(f32))
+    zl = zl.at[1, :D].set(lam2.astype(f32))
+
+    grid = (Ppad // tile_p, Npad // tile_n)
+    kernel = functools.partial(_obs_loglik_kernel, n_valid=N, n_dims=d)
+    quad, qres = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, Dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, dpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Npad, dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Npad, Dpad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, Npad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_p, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ppad, 128), f32),
+            jax.ShapeDtypeStruct((Ppad, 128), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Npad, tile_p), f32),
+            pltpu.VMEM((tile_p, Dpad), f32),
+        ],
+    )(zl, xs, xt, ay, kinv)
+    return quad[:P, 0], qres[:P, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
 def fused_rbf_posterior(
     Xtrain: jax.Array,

@@ -156,3 +156,92 @@ def test_pf_step_pallas_runs_and_is_close(_interpret):
         np.asarray(outs["off"].class_probs),
         atol=0.05,
     )
+
+
+def test_fused_obs_loglik_matches_unfused():
+    """quad/qres from the fully-fused weighting kernel == the unfused math,
+    including non-multiple shapes (padding exactness)."""
+    from gpmdm_tpu.ops.pallas.gp_posterior import fused_obs_loglik
+
+    rng = np.random.default_rng(5)
+    for N, P, D, d in [(100, 70, 9, 3), (33, 17, 5, 2)]:
+        Xt = rng.normal(size=(N, d)).astype(np.float32)
+        Xs = rng.normal(size=(P, d)).astype(np.float32)
+        Ay = rng.normal(size=(N, D)).astype(np.float32)
+        M = rng.normal(size=(N, N)).astype(np.float32)
+        Kinv = (M @ M.T / N + np.eye(N)).astype(np.float32)
+        inv_ls = np.exp(rng.normal(size=(d,))).astype(np.float32)
+        z = rng.normal(size=(D,)).astype(np.float32)
+        lam2 = np.exp(rng.normal(size=(D,))).astype(np.float32)
+
+        quad, qres = fused_obs_loglik(
+            jnp.asarray(Xt), jnp.asarray(Xs), jnp.asarray(Ay),
+            jnp.asarray(Kinv), jnp.asarray(inv_ls), jnp.asarray(z),
+            jnp.asarray(lam2), tile_p=128, tile_n=128,
+        )
+
+        diff = (Xt[:, None, :] - Xs[None, :, :]) * inv_ls
+        Kstar = np.exp(-np.sum(diff**2, axis=2))  # (N, P)
+        mean_ref = Kstar.T @ Ay  # (P, D)
+        quad_ref = np.sum(Kstar * (Kinv @ Kstar), axis=0)
+        qres_ref = np.sum(lam2 * (mean_ref - z) ** 2, axis=1)
+
+        np.testing.assert_allclose(np.asarray(quad), quad_ref, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(qres), qres_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_pf_step_fused_obs_loglik_matches_xla(monkeypatch):
+    """pf_step with the fused observation weighting == the XLA path on a
+    well-conditioned model (log-liks and readouts agree closely).
+
+    The model is deliberately kept mildly trained with a healthy noise
+    floor: at near-singular posteriors (var_common ~ 1e-5) the two star
+    kernels legitimately diverge at the f32 level — the fused kernel's
+    per-dimension squared distance is MORE accurate than the XLA path's
+    norm-expansion — and quad can flip the sign of a ~0 variance either
+    way.  Both paths give such particles ~zero weight; exact agreement is
+    only meaningful away from singularity."""
+    import gpmdm_tpu.filter.particle_filter as pfmod
+    from gpmdm_tpu import GPMDM, PFConfig
+    from gpmdm_tpu.data import synthetic
+
+    tr, tl, te, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=20, D=8, seed=17
+    )
+    m = GPMDM(
+        D=8, d=2, n_classes=2, dtype="float32",
+        y_sigma_n_init=0.3, x_sigma_n_init=0.3, sigma_n_num_Y=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=10, lr=0.01)
+
+    pfc = PFConfig(num_particles=64)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=jnp.float32))
+    state = pfmod.pf_init(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(3), pfc
+    )
+    z = jnp.asarray(np.asarray(te[0][0], dtype=np.float32))
+
+    s_ref, o_ref = pfmod.pf_step(
+        state, z, m.posterior, m.params, log_T, m.config, pfc
+    )
+    monkeypatch.setattr(pfmod, "_use_pallas_obs", lambda post, cfg: True)
+    s_fused, o_fused = pfmod.pf_step(
+        state, z, m.posterior, m.params, log_T, m.config, pfc
+    )
+    # the two star-kernel formulations differ at the f32 level (~2e-4
+    # relative), which scales with |log_lik|
+    np.testing.assert_allclose(
+        np.asarray(s_fused.log_lik), np.asarray(s_ref.log_lik),
+        rtol=1e-3, atol=0.01,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_fused.class_probs), np.asarray(o_ref.class_probs),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_fused.state_mean), np.asarray(o_ref.state_mean),
+        rtol=1e-3, atol=1e-5,
+    )
