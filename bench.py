@@ -130,6 +130,41 @@ def main() -> None:
         total += len(pred) - 5
     frame_acc = correct / total
 
+    # secondary metric: the published problem shape (d=4, the reference's
+    # train_gpmdm.ipynb cell 2 config) on a second committed asset.
+    d4_fps = d4_acc = None
+    ckpt4 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_assets", "bench_model_d4.npz")
+    if os.path.exists(ckpt4):
+        m4 = GPMDM.load(ckpt4)
+        scan4 = jax.jit(
+            lambda s, Z, post, params: pf.pf_scan(
+                s, Z, post, params, log_T, m4.config, pfc
+            )
+        )
+        state4 = pf.pf_init(
+            m4.posterior, m4.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+        )
+        _, o4 = scan4(state4, Z, m4.posterior, m4.params)
+        jax.block_until_ready(o4.class_probs)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, o4 = scan4(state4, Z, m4.posterior, m4.params)
+            jax.block_until_ready(o4.class_probs)
+        d4_fps = N_FRAMES / ((time.perf_counter() - t0) / reps)
+
+        from gpmdm_tpu import GPMDM_PF as _PF4
+
+        flt4 = _PF4(m4, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
+                    config=pfc, seed=0)
+        correct4 = total4 = 0
+        for Zq, label in zip(q_seqs, q_labels):
+            flt4.reset()
+            pred = np.asarray(flt4.run(np.asarray(Zq)).most_likely_class)
+            correct4 += (pred[5:] == label).sum()
+            total4 += len(pred) - 5
+        d4_acc = correct4 / total4
+
     # secondary metric: BASELINE's multi-filter config — 64 independent
     # banks x 1k particles streaming concurrently (dp-shardable across a
     # slice; measured here on the single available chip).
@@ -167,6 +202,8 @@ def main() -> None:
                 "n_train_frames": int(m.layout.Ny),
                 "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
                 "frame_acc": round(float(frame_acc), 4),
+                "d4_fps": round(d4_fps, 1) if d4_fps else None,
+                "d4_frame_acc": round(float(d4_acc), 4) if d4_acc else None,
                 "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
