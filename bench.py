@@ -44,9 +44,11 @@ def main() -> None:
     from gpmdm_tpu import GPMDM, PFConfig
     from gpmdm_tpu.data import synthetic
     from gpmdm_tpu.filter import particle_filter as pf
+    from gpmdm_tpu.utils.profiling import StageTimer
 
     import os
 
+    timer = StageTimer()
     t_setup = time.perf_counter()
     _, _, test_seqs, _ = synthetic.make_dataset(
         n_classes=N_CLASSES,
@@ -95,19 +97,21 @@ def main() -> None:
 
     # warm-up (compile)
     t_compile = time.perf_counter()
-    _, outs = scan(state, Z[:2], m.posterior, m.params)
-    jax.block_until_ready(outs.class_probs)
-    compile_s = time.perf_counter() - t_compile
-    # second shape compile for the full-length scan
-    _, outs = scan(state, Z, m.posterior, m.params)
-    jax.block_until_ready(outs.class_probs)
+    with timer.stage("compile"):
+        _, outs = scan(state, Z[:2], m.posterior, m.params)
+        jax.block_until_ready(outs.class_probs)
+        compile_s = time.perf_counter() - t_compile
+        # second shape compile for the full-length scan
+        _, outs = scan(state, Z, m.posterior, m.params)
+        jax.block_until_ready(outs.class_probs)
 
     # timed runs
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
-        _, outs = scan(state, Z, m.posterior, m.params)
-        jax.block_until_ready(outs.class_probs)
+        with timer.stage("headline_scan"):
+            _, outs = scan(state, Z, m.posterior, m.params)
+            jax.block_until_ready(outs.class_probs)
     wall = (time.perf_counter() - t0) / reps
     fps = N_FRAMES / wall
 
@@ -123,11 +127,12 @@ def main() -> None:
     flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
                    config=pfc, seed=0)
     correct = total = 0
-    for Zq, label in zip(q_seqs, q_labels):
-        flt.reset()
-        pred = np.asarray(flt.run(np.asarray(Zq)).most_likely_class)
-        correct += (pred[5:] == label).sum()
-        total += len(pred) - 5
+    with timer.stage("quality_guard"):
+        for Zq, label in zip(q_seqs, q_labels):
+            flt.reset()
+            pred = np.asarray(flt.run(np.asarray(Zq)).most_likely_class)
+            correct += (pred[5:] == label).sum()
+            total += len(pred) - 5
     frame_acc = correct / total
 
     # secondary metric: the published problem shape (d=4, the reference's
@@ -208,6 +213,10 @@ def main() -> None:
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
                 "setup_s": round(time.perf_counter() - t_setup, 2),
+                "stage_s": {
+                    k: round(v / timer.counts[k], 3)
+                    for k, v in timer.totals.items()
+                },
             }
         )
     )

@@ -86,8 +86,10 @@ def _cmd_train(args) -> int:
     for Y, c in train:
         model.add_data(np.asarray(Y), c)
     model.init_X()
+    logger = _make_logger(args)
     losses = model.train_adam(
-        num_opt_steps=args.steps, num_print_steps=max(1, args.steps // 10), lr=args.lr
+        num_opt_steps=args.steps, num_print_steps=max(1, args.steps // 10),
+        lr=args.lr, logger=logger,
     )
     print(f"final loss {losses[-1]:.4e}")
     model.save(args.out)
@@ -115,9 +117,19 @@ def _cmd_eval(args) -> int:
         [c for _, c in test],
         n_classes=2,
         burn_in=args.burn_in,
+        logger=_make_logger(args),
     )
     print(report.summary())
     return 0
+
+
+def _make_logger(args):
+    """MetricLogger writing JSON lines to --jsonl (None when unset)."""
+    if not getattr(args, "jsonl", None):
+        return None
+    from .utils.logging import MetricLogger
+
+    return MetricLogger(stream=None, jsonl_path=args.jsonl)
 
 
 def _cmd_rollout(args) -> int:
@@ -181,6 +193,8 @@ def main(argv=None) -> int:
     def add_data_args(sp):
         sp.add_argument("--mocap-dir", default=None)
         sp.add_argument("--downsample", type=int, default=4)
+        sp.add_argument("--jsonl", default=None,
+                        help="write structured metric records (JSON lines) here")
 
     pt = sub.add_parser("train", help="train a GPMDM and save a checkpoint")
     add_data_args(pt)

@@ -248,12 +248,14 @@ class GPMDM:
         num_print_steps: int = 0,
         lr: float = 0.01,
         balance: float = 1.0,
+        logger=None,
     ) -> List[float]:
         """Optimize with Adam (reference train_adam, gpmdm.py:817-885).
 
         Returns the per-step loss history.  Optimizer state is kept on the
         instance, so consecutive calls resume rather than restart Adam
-        moments.
+        moments.  ``logger`` (utils.logging.MetricLogger) receives
+        structured loss / steps-per-sec records per chunk.
         """
         from ..train.trainer import train_adam as _train
 
@@ -276,6 +278,7 @@ class GPMDM:
             mode=mode,
             opt_state=self._opt_state,
             log_fn=log if num_print_steps else None,
+            logger=logger,
         )
         self.params = result.params
         self._opt_state = result.opt_state

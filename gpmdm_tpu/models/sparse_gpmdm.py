@@ -92,7 +92,8 @@ class SparseGPMDM(GPMDM):
             )
         )
 
-    def train_adam(self, num_opt_steps, num_print_steps=0, lr=0.01, balance=1.0):
+    def train_adam(self, num_opt_steps, num_print_steps=0, lr=0.01, balance=1.0,
+                   logger=None):
         from ..config import TrainConfig
         from ..train.trainer import train_adam as _train
 
@@ -115,6 +116,7 @@ class SparseGPMDM(GPMDM):
             opt_state=self._opt_state,
             log_fn=log if num_print_steps else None,
             kind="sparse",
+            logger=logger,
         )
         self.params = result.params
         self._opt_state = result.opt_state

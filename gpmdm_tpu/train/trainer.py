@@ -173,6 +173,7 @@ def train_adam(
     opt_state: optax.OptState | None = None,
     log_fn: Callable[[int, float, float], None] | None = None,
     kind: str = "exact",
+    logger=None,
 ) -> TrainResult:
     """Run Adam for ``train_cfg.num_steps`` steps (reference train_adam,
     gpmdm.py:817-885).
@@ -181,6 +182,10 @@ def train_adam(
     the whole run when print_every == 0) so that per-chunk logging and the
     NaN early exit stay on the host while the hot path stays compiled.
     Returns updated params, optimizer state, and the per-step loss history.
+
+    ``logger`` (a :class:`gpmdm_tpu.utils.logging.MetricLogger`) receives a
+    structured record per chunk: loss and steps/sec — the SURVEY §5
+    first-class training metrics.
     """
     optimizer, run_chunk = _get_run_chunk(
         cfg, layout, train_cfg.lr, train_cfg.balance, mode, kind
@@ -205,6 +210,13 @@ def train_adam(
         done += n
         if log_fn is not None:
             log_fn(done, float(losses[-1]), time.perf_counter() - t0)
+        if logger is not None:
+            wall_so_far = time.perf_counter() - t0
+            logger.log(
+                step=done,
+                loss=float(losses[-1]),
+                steps_per_sec=done / wall_so_far if wall_so_far > 0 else 0.0,
+            )
         # save whenever a checkpoint boundary was crossed inside this chunk
         # (chunk boundaries need not align with checkpoint_every)
         if (

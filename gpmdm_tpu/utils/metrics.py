@@ -85,12 +85,17 @@ def evaluate_pf(
     test_labels: Sequence[int],
     n_classes: int,
     burn_in: int = 0,
+    logger=None,
 ) -> EvalReport:
     """Stream every labeled trial through the filter (resetting between
     trials, as the reference notebook does) and aggregate metrics.
 
     A trial's vote is the majority frame prediction (reference: trial correct
     if >50% of frames correct, test_gpmdm_pf.ipynb cell 4).
+
+    ``logger`` (utils.logging.MetricLogger) receives a structured record per
+    trial (frame accuracy, fps, predicted/actual label) plus a final
+    aggregate record — the SURVEY §5 first-class eval metrics.
     """
     import time
 
@@ -99,13 +104,14 @@ def evaluate_pf(
     trial_pred: List[int] = []
     total_frames = 0
     wall = 0.0
-    for Z, label in zip(test_seqs, test_labels):
+    for i, (Z, label) in enumerate(zip(test_seqs, test_labels)):
         flt.reset()
         t0 = time.perf_counter()
         outs = flt.run(Z)
         preds = np.asarray(outs.most_likely_class)
         preds.ravel()[-1]  # touch to sync
-        wall += time.perf_counter() - t0
+        trial_wall = time.perf_counter() - t0
+        wall += trial_wall
         total_frames += len(preds)
         preds_eval = preds[burn_in:]
         frame_pred.append(preds_eval)
@@ -114,10 +120,26 @@ def evaluate_pf(
         # frame metrics
         counts = np.bincount(preds_eval, minlength=n_classes)
         trial_pred.append(int(np.argmax(counts)))
+        if logger is not None:
+            logger.log(
+                step=i,
+                trial_frame_acc=float(np.mean(preds_eval == label)),
+                trial_fps=len(preds) / trial_wall if trial_wall > 0 else 0.0,
+                pred_label=trial_pred[-1],
+                true_label=int(label),
+            )
 
     fcm = confusion_matrix(np.concatenate(frame_pred), np.concatenate(frame_true), n_classes)
     tcm = confusion_matrix(np.asarray(trial_pred), np.asarray(test_labels), n_classes)
     metric = binary_prf if n_classes == 2 else macro_prf
+    if logger is not None:
+        fm = metric(fcm)
+        logger.log(
+            step=len(trial_pred),
+            frame_acc=fm["accuracy"],
+            frame_f1=fm["f1"],
+            fps=total_frames / wall if wall > 0 else 0.0,
+        )
     return EvalReport(
         frame_confusion=fcm,
         trial_confusion=tcm,

@@ -155,3 +155,44 @@ def test_save_load_non_npz_suffix(tmp_path):
     assert path.exists() and not (tmp_path / "model.ckpt.npz").exists()
     m2 = GPMDM.load(path)
     np.testing.assert_allclose(np.asarray(m2.params.X), np.asarray(m.params.X))
+
+
+def test_train_adam_emits_logger_records(tmp_path):
+    """GPMDM.train_adam(logger=) produces structured loss / steps-per-sec
+    series plus a JSONL file (SURVEY §5 metrics wiring)."""
+    import json
+
+    from gpmdm_tpu.utils.logging import MetricLogger
+
+    m = small_model()
+    path = tmp_path / "train.jsonl"
+    logger = MetricLogger(stream=None, jsonl_path=str(path))
+    m.train_adam(num_opt_steps=6, num_print_steps=2, lr=0.01, logger=logger)
+    steps, losses = logger.series("loss")
+    assert list(steps) == [2, 4, 6]
+    assert losses[-1] < losses[0]
+    assert logger.last("steps_per_sec") > 0
+    records = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(records) == 3 and "loss" in records[0]
+
+
+def test_evaluate_pf_emits_logger_records():
+    """evaluate_pf(logger=) logs one record per trial + an aggregate."""
+    from gpmdm_tpu import GPMDM_PF
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.utils.logging import MetricLogger
+    from gpmdm_tpu.utils.metrics import evaluate_pf
+
+    m = small_model()
+    m.train_adam(num_opt_steps=20, lr=0.02)
+    _, _, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=2, seq_len=25, D=8, seed=3
+    )
+    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=32, seed=0)
+    logger = MetricLogger(stream=None)
+    report = evaluate_pf(
+        flt, [np.asarray(Z) for Z in te], tel, n_classes=2, logger=logger
+    )
+    assert len(logger.history["trial_frame_acc"]) == len(te)
+    assert logger.last("fps") > 0
+    assert abs(logger.last("frame_acc") - report.frame_metrics["accuracy"]) < 1e-9
