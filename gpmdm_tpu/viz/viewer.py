@@ -37,16 +37,69 @@ class Viewer:
         self.trans = np.array([0.0, -1.0, -6.0])
         self._dragging = False
 
+    # ------------------------------------------------------- event handling
+
+    def process_event(self, ev) -> bool:
+        """Handle one pygame event; returns False when the viewer should
+        quit (reference process_event, amc_parser/viewer.py:91).  GL-free,
+        so the whole control surface is unit-testable without a display."""
+        import pygame
+        from pygame.locals import (
+            K_DOWN, K_ESCAPE, K_LEFT, K_RIGHT, K_SPACE, K_UP,
+            K_a, K_d, K_e, K_q, K_r, K_s, K_w, KEYDOWN, MOUSEBUTTONDOWN,
+            MOUSEBUTTONUP, MOUSEMOTION, QUIT,
+        )
+
+        if ev.type == QUIT:
+            return False
+        if ev.type == KEYDOWN:
+            if ev.key == K_ESCAPE:
+                return False
+            elif ev.key == K_SPACE:
+                self.playing = not self.playing
+            elif ev.key == K_RIGHT:
+                self.frame = (self.frame + 1) % len(self.positions)
+            elif ev.key == K_LEFT:
+                self.frame = (self.frame - 1) % len(self.positions)
+            elif ev.key == K_UP:
+                self.speed = min(self.speed * 1.5, 8.0)
+            elif ev.key == K_DOWN:
+                self.speed = max(self.speed / 1.5, 0.125)
+            elif ev.key == K_w:
+                self.trans[1] -= 0.2
+            elif ev.key == K_s:
+                self.trans[1] += 0.2
+            elif ev.key == K_a:
+                self.trans[0] += 0.2
+            elif ev.key == K_d:
+                self.trans[0] -= 0.2
+            elif ev.key == K_q:
+                self.trans[2] += 0.4
+            elif ev.key == K_e:
+                self.trans[2] -= 0.4
+            elif ev.key == K_r:
+                self.rot[:] = (20.0, -30.0)
+                self.trans[:] = (0.0, -1.0, -6.0)
+        elif ev.type == MOUSEBUTTONDOWN and ev.button == 1:
+            self._dragging = True
+        elif ev.type == MOUSEBUTTONUP and ev.button == 1:
+            self._dragging = False
+        elif ev.type == MOUSEMOTION and self._dragging:
+            self.rot[1] += ev.rel[0] * 0.3
+            self.rot[0] += ev.rel[1] * 0.3
+        return True
+
+    def step(self) -> None:
+        """Advance playback by the current speed (no-op when paused)."""
+        if self.playing:
+            self.frame = (self.frame + max(1, int(self.speed))) % len(self.positions)
+
     # ------------------------------------------------------------------ loop
 
     def run(self) -> None:
         import pygame
         from OpenGL import GL, GLU
-        from pygame.locals import (
-            DOUBLEBUF, K_DOWN, K_ESCAPE, K_LEFT, K_RIGHT, K_SPACE, K_UP,
-            K_a, K_d, K_e, K_q, K_r, K_s, K_w, KEYDOWN, MOUSEBUTTONDOWN,
-            MOUSEBUTTONUP, MOUSEMOTION, OPENGL, QUIT,
-        )
+        from pygame.locals import DOUBLEBUF, OPENGL
 
         pygame.init()
         size = (1024, 768)
@@ -60,58 +113,21 @@ class Viewer:
         running = True
         while running:
             for ev in pygame.event.get():
-                if ev.type == QUIT:
+                if not self.process_event(ev):
                     running = False
-                elif ev.type == KEYDOWN:
-                    if ev.key == K_ESCAPE:
-                        running = False
-                    elif ev.key == K_SPACE:
-                        self.playing = not self.playing
-                    elif ev.key == K_RIGHT:
-                        self.frame = (self.frame + 1) % len(self.positions)
-                    elif ev.key == K_LEFT:
-                        self.frame = (self.frame - 1) % len(self.positions)
-                    elif ev.key == K_UP:
-                        self.speed = min(self.speed * 1.5, 8.0)
-                    elif ev.key == K_DOWN:
-                        self.speed = max(self.speed / 1.5, 0.125)
-                    elif ev.key == K_w:
-                        self.trans[1] -= 0.2
-                    elif ev.key == K_s:
-                        self.trans[1] += 0.2
-                    elif ev.key == K_a:
-                        self.trans[0] += 0.2
-                    elif ev.key == K_d:
-                        self.trans[0] -= 0.2
-                    elif ev.key == K_q:
-                        self.trans[2] += 0.4
-                    elif ev.key == K_e:
-                        self.trans[2] -= 0.4
-                    elif ev.key == K_r:
-                        self.rot[:] = (20.0, -30.0)
-                        self.trans[:] = (0.0, -1.0, -6.0)
-                elif ev.type == MOUSEBUTTONDOWN and ev.button == 1:
-                    self._dragging = True
-                elif ev.type == MOUSEBUTTONUP and ev.button == 1:
-                    self._dragging = False
-                elif ev.type == MOUSEMOTION and self._dragging:
-                    self.rot[1] += ev.rel[0] * 0.3
-                    self.rot[0] += ev.rel[1] * 0.3
-
-            if self.playing:
-                self.frame = (self.frame + max(1, int(self.speed))) % len(self.positions)
-
+            self.step()
             self._draw_frame(GL)
             pygame.display.flip()
             clock.tick(self.fps)
         pygame.quit()
 
     def _draw_frame(self, GL) -> None:
+        """Draw one frame's joints + bones.  Projection is set once in
+        run(); this only touches the modelview stack, and takes the GL
+        module as a parameter so tests can drive it with a recording stub
+        (no GL context exists headless)."""
         GL.glClear(GL.GL_COLOR_BUFFER_BIT | GL.GL_DEPTH_BUFFER_BIT)
         GL.glLoadIdentity()
-        from OpenGL import GLU
-
-        GLU.gluPerspective(45, 1024 / 768, 0.1, 100.0)
         GL.glTranslatef(*self.trans)
         GL.glRotatef(self.rot[0], 1, 0, 0)
         GL.glRotatef(self.rot[1], 0, 1, 0)

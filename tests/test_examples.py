@@ -58,3 +58,13 @@ def test_example_load(ckpt):
               "--save", str(ckpt.parent / "latent.png")], cwd=ckpt.parent)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (ckpt.parent / "latent.png").exists()
+
+
+def test_example_joints(tmp_path):
+    """Skeleton-exploration walkthrough (reference notebooks/joints.ipynb):
+    joint listing, zero pose, perturbed pose, animation GIF."""
+    r = _run(["examples/joints.py", "--out-dir", str(tmp_path)], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "joints:" in r.stdout
+    for f in ("zero_pose.png", "perturbed_pose.png", "joints_animation.gif"):
+        assert (tmp_path / f).stat().st_size > 0
