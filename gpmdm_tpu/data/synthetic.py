@@ -23,12 +23,22 @@ def make_cycle(
     phase: float = 0.0,
     rng: np.random.Generator | None = None,
     center_spread: float = 0.0,
+    class_signature: float = 0.0,
 ) -> np.ndarray:
     """One sequence of a noisy class-specific limit cycle, shape (n_frames, D)."""
     if rng is None:
         rng = np.random.default_rng(0)
-    freq = 1.0 + 0.7 * class_index  # class-specific angular frequency
-    wobble = 0.3 * class_index  # class-specific radius modulation
+    if class_signature > 0.0:
+        # signature task: classes are told apart primarily by posture
+        # (center + observation signature), with mild speed differences.
+        # The classic task's aggressive frequency scaling (below) makes
+        # high classes alias at the fixed frame rate (class 7: ~9
+        # frames/cycle), which tests sampling density, not the model.
+        freq = 1.0 + 0.25 * class_index
+        wobble = 0.15 * class_index
+    else:
+        freq = 1.0 + 0.7 * class_index  # class-specific angular frequency
+        wobble = 0.3 * class_index  # class-specific radius modulation
     # optional class-specific cycle center (golden-angle ring placement) so
     # many-class configs are separable in space as well as dynamics — like
     # distinct gait poses.  Default 0 keeps the classic overlapping-cycles
@@ -47,6 +57,16 @@ def make_cycle(
     W1 = lift_rng.normal(size=(2, D)) / np.sqrt(2)
     W2 = lift_rng.normal(size=(2, D)) / np.sqrt(2)
     Y = z @ W1 + np.sin(z @ W2)
+    if class_signature > 0.0:
+        # per-class observation signature: a fixed class-specific offset
+        # direction in observation space (a distinguishing "posture"), the
+        # analogue of distinct mean poses across activities.  Combined with
+        # center_spread this gave the best-separated many-class task of the
+        # designs swept (single-direction ladders drown in the ~sqrt(D)
+        # cycle amplitude; capping the per-class wobble removes a shape cue
+        # the filter demonstrably uses).
+        sig_rng = np.random.default_rng(9000 + class_index)
+        Y = Y + class_signature * sig_rng.normal(size=(D,))
     Y = Y + noise * rng.normal(size=Y.shape)
     return Y.astype(np.float32)
 
@@ -60,6 +80,7 @@ def make_dataset(
     noise: float = 0.02,
     seed: int = 0,
     center_spread: float = 0.0,
+    class_signature: float = 0.0,
 ):
     """Build (train_seqs, train_labels, test_seqs, test_labels).
 
@@ -72,7 +93,8 @@ def make_dataset(
         for i in range(n_train_seqs):
             phase = rng.uniform(0, 2 * np.pi)
             train_seqs.append(
-                make_cycle(seq_len, c, D, noise, phase, rng, center_spread)
+                make_cycle(seq_len, c, D, noise, phase, rng, center_spread,
+                           class_signature)
             )
             train_labels.append(c)
     test_seqs, test_labels = [], []
@@ -80,7 +102,8 @@ def make_dataset(
         for i in range(n_test_seqs):
             phase = rng.uniform(0, 2 * np.pi)
             test_seqs.append(
-                make_cycle(seq_len, c, D, noise, phase, rng, center_spread)
+                make_cycle(seq_len, c, D, noise, phase, rng, center_spread,
+                           class_signature)
             )
             test_labels.append(c)
     order = rng.permutation(len(test_seqs))

@@ -14,9 +14,14 @@ from gpmdm_tpu.parallel import make_context, make_mesh, nll_sharded, pad_Y
 
 @pytest.fixture(scope="module")
 def model8():
+    # The signature task (center_spread + per-class observation signature +
+    # mild frequency scaling): every class is separable in both posture and
+    # dynamics, so accuracy is a meaningful bar — the classic task's
+    # overlapping rings with aggressively scaled frequencies test sampling
+    # density, not the model (class 7 aliased at ~9 frames/cycle).
     tr, tl, te, tel = synthetic.make_dataset(
         n_classes=8, n_train_seqs=2, n_test_seqs=1, seq_len=60, D=10, seed=21,
-        center_spread=2.0
+        center_spread=3.0, class_signature=1.0,
     )
     m = GPMDM(D=10, d=3, n_classes=8, dtype="float64")
     for Y, c in zip(tr, tl):
@@ -44,12 +49,17 @@ def test_8class_ep_sharded_loss(model8):
 
 
 def test_8class_training_and_pf(model8):
+    """8-way classification accuracy >= 0.8 (6.4x chance) on the signature
+    task — a meaningful quality bar for the EP scale config, not just a
+    does-it-run check.  Measured 0.850-0.855 across PF seeds at this
+    config; do NOT raise the training steps — over-sharp kernels degrade
+    PF accuracy (same effect as the bench asset note)."""
     m, te, tel = model8
     losses = m.train_adam(num_opt_steps=150, lr=0.02)
     assert losses[-1] < losses[0]
     T = np.full((8, 8), 0.1 / 7)
     np.fill_diagonal(T, 0.9)
-    flt = GPMDM_PF(m, T, num_particles=400, seed=0)
+    flt = GPMDM_PF(m, T, num_particles=1500, seed=0)
     correct = total = 0
     for Z, label in zip(te, tel):
         flt.reset()
@@ -57,9 +67,4 @@ def test_8class_training_and_pf(model8):
         pred = np.asarray(outs.most_likely_class)
         correct += (pred[10:] == label).sum()
         total += len(pred) - 10
-    # This synthetic 8-way task is intrinsically hard (one shared
-    # observation GP; ring-placed classes overlap): the assertion checks
-    # the machinery produces a clear signal (>2.4x the 12.5% chance
-    # level), not benchmark-grade accuracy — that bar lives in the 2-class
-    # reference-parity test.
-    assert correct / total > 0.3, correct / total
+    assert correct / total > 0.8, correct / total
