@@ -91,6 +91,19 @@ class SparsePosterior:
 
 _JITTER = 1e-6
 
+# Kuu jitter is dtype-aware: inducing points subsampled from consecutive
+# motion frames are near-duplicates, so Kuu's smallest eigenvalues sit at
+# the f32 kernel-evaluation noise floor (measured: min eig -8.5e-6 at
+# M=256 on TPU, condition ~1e7 — exactly where TPU f32 Cholesky silently
+# NaNs while CPU LAPACK squeaks through).  1e-4 keeps the condition ~2e5;
+# the VFE with a jittered Kuu is still a valid bound (it only perturbs the
+# approximating family).
+_KUU_JITTER = {jnp.dtype("float32"): 1e-4, jnp.dtype("float64"): 1e-6}
+
+
+def _kuu_jitter(dtype) -> float:
+    return _KUU_JITTER.get(jnp.dtype(dtype), 1e-4)
+
 
 def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None,
                 sigma_n_num: float = 0.0):
@@ -107,7 +120,7 @@ def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None,
         Kmn = Kmn * col_mask[None, :]
         knn_diag = knn_diag * col_mask
         Y = Y * col_mask[:, None]
-    Lm = LA.chol_lower(Kmm, jitter=_JITTER)
+    Lm = LA.chol_lower(Kmm, jitter=_kuu_jitter(Kmm.dtype))
     A = LA.tri_solve(Lm, Kmn) / jnp.sqrt(sigma2)  # (M, N)
     B = jnp.eye(M, dtype=Kmm.dtype) + jnp.matmul(A, A.T, precision=_PREC)
     LB = LA.chol_lower(B)
@@ -305,7 +318,9 @@ def precompute_host(
 
     def sgpr(Kmm, Kmn, Ydata, sigma2):
         M = Kmm.shape[0]
-        Lm = np.linalg.cholesky(Kmm + _JITTER * np.eye(M))
+        # same Kuu jitter the MODEL-dtype training loss uses, so the
+        # deployed posterior matches the trained objective
+        Lm = np.linalg.cholesky(Kmm + _kuu_jitter(params.X.dtype) * np.eye(M))
         import scipy.linalg as sl
 
         A = sl.solve_triangular(Lm, Kmn, lower=True) / np.sqrt(sigma2)

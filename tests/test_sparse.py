@@ -167,3 +167,33 @@ def test_sparse_hour_long_sequences():
     flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=100, seed=0)
     outs = flt.run(te)
     assert np.isfinite(np.asarray(outs.class_probs)).all()
+
+
+def test_vfe_finite_with_duplicate_inducing_points():
+    """Near-duplicate inducing points (subsampled consecutive motion frames)
+    make Kuu numerically singular — measured NaN on TPU at M=256 before the
+    dtype-aware Kuu jitter.  Exact duplicates reproduce the failure on any
+    backend: the VFE must stay finite."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import SparseGPMDM
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.models import sparse
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=30, D=8, seed=7
+    )
+    m = SparseGPMDM(n_inducing_y=16, n_inducing_x=16, D=8, d=2, n_classes=2,
+                    dtype="float32")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    # force exact duplicates: every inducing point = the first one's row
+    Zy_dup = jnp.broadcast_to(m.params.Zy[:1], m.params.Zy.shape)
+    Zx_dup = jnp.broadcast_to(m.params.Zx[:1], m.params.Zx.shape)
+    params = dataclasses.replace(m.params, Zy=Zy_dup, Zx=Zx_dup)
+    v = float(sparse.sparse_nll(params, jnp.asarray(m.get_Y(), m.dtype),
+                                m.config, m.layout))
+    assert np.isfinite(v), v

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Training-throughput benchmarks: exact-vs-sparse scaling and the sharded
+(ep x tp) training path.
+
+Modes (one JSON line per config):
+
+  --mode scaling   (run on the TPU) steady-state steps/s for the exact
+                   model at Ny in {1024, 2048, 4096} and the sparse model
+                   (M in {64, 128, 256}) at the same sizes, plus the
+                   VFE-vs-exact NLL gap at the trained parameters.
+  --mode sharded   (runs anywhere; uses 8 virtual CPU devices) steps/s for
+                   single-device train_adam vs the ep x tp sharded
+                   train_adam_sharded at the BASELINE 8-class shape.
+
+Timing protocol: each measurement scans a fixed number of steps twice with
+the same compiled function (warm-up + timed), so compile time is excluded
+and only one compile per config is paid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _build(n_classes, seqs_per_class, seq_len, D, d, sparse_m=None,
+           dtype="float32", seed=5):
+    from gpmdm_tpu import GPMDM, SparseGPMDM
+    from gpmdm_tpu.data import synthetic
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=n_classes, n_train_seqs=seqs_per_class, n_test_seqs=1,
+        seq_len=seq_len, D=D, seed=seed,
+        center_spread=3.0 if n_classes > 2 else 0.0,
+        class_signature=1.0 if n_classes > 2 else 0.0,
+    )
+    if sparse_m is None:
+        m = GPMDM(D=D, d=d, n_classes=n_classes, dtype=dtype,
+                  y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    else:
+        m = SparseGPMDM(n_inducing_y=sparse_m, n_inducing_x=sparse_m,
+                        D=D, d=d, n_classes=n_classes, dtype=dtype,
+                        y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    return m
+
+
+def _steps_per_sec(run, n_steps):
+    """run(n) executes n training steps end-to-end (one compiled scan)."""
+    run(n_steps)  # compile + warm-up
+    t0 = time.perf_counter()
+    run(n_steps)
+    wall = time.perf_counter() - t0
+    return n_steps / wall
+
+
+def mode_scaling(args) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import TrainConfig
+    from gpmdm_tpu.models import core, sparse
+    from gpmdm_tpu.train.trainer import train_adam
+
+    device = str(jax.devices()[0])
+    D, d, C = 12, 2, 2
+    for seq_len in args.seq_lens:
+        Ny = C * args.seqs * seq_len
+
+        # ---- exact ----
+        m = _build(C, args.seqs, seq_len, D, d)
+        Y = m.get_Y()
+
+        def run_exact(n):
+            r = train_adam(m.params, Y, m.config, m.layout,
+                           TrainConfig(num_steps=n, lr=0.01))
+            r.losses.block_until_ready()
+            return r
+
+        sps = _steps_per_sec(run_exact, args.steps)
+        print(json.dumps({"model": "exact", "Ny": Ny, "steps_per_sec":
+                          round(sps, 3), "device": device}), flush=True)
+
+        # ---- sparse at each M ----
+        for M in args.inducing:
+            ms = _build(C, args.seqs, seq_len, D, d, sparse_m=M)
+            Ys = ms.get_Y()
+
+            def run_sparse(n):
+                r = train_adam(ms.params, Ys, ms.config, ms.layout,
+                               TrainConfig(num_steps=n, lr=0.01),
+                               kind="sparse")
+                r.losses.block_until_ready()
+                return r
+
+            sps_s = _steps_per_sec(run_sparse, args.steps)
+            # VFE gap at the trained parameters: sparse bound vs the exact
+            # marginal NLL at the same (X, hyperparameters).
+            res = run_sparse(args.steps)
+            p = res.params
+            vfe = float(sparse.sparse_nll(p, jnp.asarray(Ys, dtype=ms.dtype),
+                                          ms.config, ms.layout))
+            exact_params = core.GPMDMParams(
+                y_log_lengthscales=p.y_log_lengthscales,
+                y_log_lambdas=p.y_log_lambdas,
+                y_log_sigma_n=p.y_log_sigma_n,
+                x_log_lengthscales=p.x_log_lengthscales,
+                x_log_lambdas=p.x_log_lambdas,
+                x_log_sigma_n=p.x_log_sigma_n,
+                x_log_lin_coeff=p.x_log_lin_coeff,
+                X=p.X,
+            )
+            ex = float(core.nll(exact_params, jnp.asarray(Ys, dtype=ms.dtype),
+                                ms.config, ms.layout))
+            print(json.dumps({
+                "model": f"sparse_M{M}", "Ny": Ny,
+                "steps_per_sec": round(sps_s, 3),
+                "vfe_nll": round(vfe, 1), "exact_nll_at_params": round(ex, 1),
+                "vfe_gap_rel": round((vfe - ex) / abs(ex), 6),
+                "device": device,
+            }), flush=True)
+
+
+def mode_sharded(args) -> None:
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gpmdm_tpu import TrainConfig
+    from gpmdm_tpu.parallel import make_mesh, train_adam_sharded
+    from gpmdm_tpu.train.trainer import train_adam
+
+    # BASELINE scale config: 8 classes, mid-scale Ny (full 5k exceeds what
+    # the CPU host can chew through in a bounded test window; the exact
+    # model is O(Ny^3) per step)
+    C, seqs, seq_len, D, d = 8, 2, 160, 12, 3
+    m = _build(C, seqs, seq_len, D, d)
+    Y = m.get_Y()
+    Ny = int(m.layout.Ny)
+    print(f"# sharded-training measurement: C={C} Ny={Ny} D={D} "
+          f"(8 virtual CPU devices — same physical cores, so this measures "
+          f"partitioning overhead, not real multi-chip speedup)", flush=True)
+
+    def run_single(n):
+        r = train_adam(m.params, Y, m.config, m.layout,
+                       TrainConfig(num_steps=n, lr=0.01))
+        r.losses.block_until_ready()
+
+    sps1 = _steps_per_sec(run_single, args.steps)
+    print(json.dumps({"config": "single-device", "Ny": Ny,
+                      "steps_per_sec": round(sps1, 3)}), flush=True)
+
+    for ep, tp in [(8, 1), (2, 4)]:
+        mesh = make_mesh({"ep": ep, "tp": tp})
+
+        def run_sharded(n):
+            _, _, losses = train_adam_sharded(
+                m.params, Y, m.config, m.layout, mesh,
+                TrainConfig(num_steps=n, lr=0.01),
+            )
+            losses.block_until_ready()
+
+        sps = _steps_per_sec(run_sharded, args.steps)
+        print(json.dumps({"config": f"ep{ep}xtp{tp}", "Ny": Ny,
+                          "steps_per_sec": round(sps, 3),
+                          "vs_single": round(sps / sps1, 3)}), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["scaling", "sharded"], required=True)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--seq-lens", type=int, nargs="+",
+                    default=[256, 512, 1024])  # Ny = 2*2*seq_len
+    ap.add_argument("--seqs", type=int, default=2)
+    ap.add_argument("--inducing", type=int, nargs="+", default=[64, 128, 256])
+    args = ap.parse_args()
+    if args.mode == "scaling":
+        mode_scaling(args)
+    else:
+        mode_sharded(args)
+
+
+if __name__ == "__main__":
+    main()
