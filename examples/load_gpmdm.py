@@ -1,8 +1,10 @@
 """Model inspection — script form of the reference's
 ``notebooks/load_gpmdm.ipynb``: load a checkpoint and plot the per-class
-latent embeddings.
+latent embeddings (matplotlib static plot and/or the interactive 3D HTML
+widget, the plotly-parity artifact of the reference's cell 2).
 
 Usage: python examples/load_gpmdm.py models/gpmdm.npz [--save latent.png]
+                                                      [--html latent.html]
 """
 
 import argparse
@@ -18,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
     ap.add_argument("--save", default=None)
+    ap.add_argument("--html", default=None,
+                    help="write an interactive 3D latent plot (standalone HTML)")
     args = ap.parse_args()
 
     model = GPMDM.load(args.ckpt)
@@ -25,6 +29,12 @@ def main():
     print(f"loss: {model.gpdm_loss():.4e}")
     for c in range(model.n_classes):
         print(f"class {c}: {model.get_X_for_class(c).shape[0]} latent points")
+
+    if args.html:
+        from gpmdm_tpu.viz.html3d import write_latent_html
+
+        write_latent_html(model, args.html)
+        print(f"wrote {args.html}")
 
     import matplotlib
 

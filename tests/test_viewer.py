@@ -117,3 +117,37 @@ def test_viewer_draw_sequence(viewer):
     assert names.count("glVertex3f") == 2 * (n_joints + 2 * n_bones)
     verts = [a for n, a in calls if n == "glVertex3f"]
     assert np.isfinite(np.asarray(verts, dtype=float)).all()
+
+
+def test_interactive_latent_html(tmp_path):
+    """The zero-dependency interactive 3D latent widget embeds every class's
+    points and the trajectory as valid JSON inside a complete HTML document
+    (plotly-parity artifact; reference load_gpmdm.ipynb cell 2)."""
+    import json
+    import re
+
+    from gpmdm_tpu import GPMDM
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.viz.html3d import write_latent_html
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=15, D=6, seed=2
+    )
+    m = GPMDM(D=6, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    traj = np.asarray(m.params.X)[:7]
+    p = write_latent_html(m, tmp_path / "latent.html",
+                          class_names=["walk", "run"], trajectory=traj)
+    html = p.read_text()
+    assert html.startswith("<!DOCTYPE html>") and "</html>" in html
+    groups = json.loads(re.search(r"const GROUPS = (\[.*?\]);", html).group(1))
+    assert [g["name"] for g in groups] == ["walk", "run"]
+    assert sum(len(g["pts"]) for g in groups) == m.layout.Ny
+    assert all(len(pt) == 3 for g in groups for pt in g["pts"])
+    tr_pts = json.loads(re.search(r"const TRAJ = (\[.*?\]);", html).group(1))
+    assert len(tr_pts) == 7
+    # all coordinates normalized into the renderer's unit box
+    flat = [abs(v) for g in groups for pt in g["pts"] for v in pt]
+    assert max(flat) <= 1.0 + 1e-9
