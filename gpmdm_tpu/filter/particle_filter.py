@@ -69,7 +69,11 @@ def _use_pallas(post, pf_cfg) -> bool:
         pf_cfg.pallas == "auto"
         and isinstance(post, core.Posterior)
         and jax.default_backend() == "tpu"
-        and post.X.shape[0] >= 1024
+        # upper bound: the fused kernel's VMEM accounting (gp_posterior.
+        # _default_tile_p) — beyond ~4k training rows the resident inputs
+        # alone exceed VMEM; XLA takes over (and sparse is the right
+        # family at that scale anyway)
+        and 1024 <= post.X.shape[0] <= 4096
     )
 
 
@@ -86,7 +90,7 @@ def _use_pallas_obs(post, pf_cfg) -> bool:
         pf_cfg.pallas == "auto"
         and isinstance(post, core.Posterior)
         and jax.default_backend() == "tpu"
-        and 1024 <= post.X.shape[0] <= 16 * 1024
+        and 1024 <= post.X.shape[0] <= 4096
     )
 
 

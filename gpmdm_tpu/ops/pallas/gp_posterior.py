@@ -120,19 +120,29 @@ def _kernel(
     quad_ref[:] += contrib[:, None]
 
 
-def _default_tile_p(Npad: int) -> int:
-    """Largest particle tile whose (Npad, tile_p) f32 Kstar scratch stays
-    within ~8 MB of VMEM; measured fastest at N~1k is tile_p=1024
-    (43% over the unfused XLA pipeline), shrinking for larger N."""
-    budget = 8 * 1024 * 1024 // (Npad * 4)
+def _default_tile_p(
+    Npad: int, dpad: int = 128, Dpad: int = 128, tile_n: int = 128
+) -> int:
+    """Largest particle tile that fits the kernel's FULL VMEM footprint.
+
+    Resident per grid step: xt + lt (Npad, dpad each), ay (Npad, Dpad),
+    the double-buffered kinv row tile (2 x tile_n x Npad), the (Npad,
+    tile_p) Kstar scratch, and the per-particle-tile blocks.  Budget 12 MB
+    of the ~16 MB VMEM (headroom for Mosaic's own buffers — the previous
+    kstar-only accounting OOM'd at Npad=5120: 18 MB requested).
+    Measured fastest at N~1k is tile_p=1024 (43% over the unfused XLA
+    pipeline), shrinking for larger N."""
+    budget = 15 * 1024 * 1024
+    fixed = 4 * Npad * (2 * dpad + Dpad + 2 * tile_n)
     for tp in (1024, 512, 256, 128):
-        if tp <= budget:
+        per_tile = 4 * Npad * tp + 4 * tp * (2 * dpad + Dpad + 256)
+        if fixed + per_tile <= budget:
             return tp
     raise ValueError(
         f"training-set axis too large for the fused kernel's VMEM budget "
-        f"(Npad={Npad}: even a 128-wide particle tile needs "
-        f"{Npad * 128 * 4 / 2**20:.0f} MB of scratch); use PFConfig("
-        f"pallas='off') or the sparse model family at this scale"
+        f"(Npad={Npad}: resident inputs alone need {fixed / 2**20:.1f} MB); "
+        f"use PFConfig(pallas='off') or the sparse model family at this "
+        f"scale"
     )
 
 
@@ -146,11 +156,11 @@ def _fused_posterior(
     f32 = jnp.float32
 
     Npad = _round_up(max(N, 1), max(tile_n, 128))
-    if tile_p == 0:  # adaptive default
-        tile_p = _default_tile_p(Npad)
-    Ppad = _round_up(max(P, 1), tile_p)
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
+    if tile_p == 0:  # adaptive default
+        tile_p = _default_tile_p(Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n)
+    Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad(xt.astype(f32), ((0, Npad - N), (0, dpad - d)))
     xs = jnp.pad(xs.astype(f32), ((0, Ppad - P), (0, dpad - d)))
@@ -285,11 +295,11 @@ def fused_obs_loglik(
     f32 = jnp.float32
 
     Npad = _round_up(max(N, 1), max(tile_n, 128))
-    if tile_p == 0:
-        tile_p = _default_tile_p(Npad)
-    Ppad = _round_up(max(P, 1), tile_p)
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
+    if tile_p == 0:
+        tile_p = _default_tile_p(Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n)
+    Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad((Xtrain * inv_lengthscales).astype(f32),
                  ((0, Npad - N), (0, dpad - d)))

@@ -1,5 +1,6 @@
 """Distribution layer: device meshes, sharded training, PF-bank sharding."""
 
+from .dist_chol import chol_rowblock, tri_solve_lower_rowblock, y_nll_dist
 from .mesh import make_mesh, make_train_mesh, round_up
 from .pf_bank import pf_scan_bank_sharded, shard_bank_state
 from .sp_predict import predict_x_all_classes_rowsharded, predict_y_rowsharded
@@ -13,6 +14,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "chol_rowblock",
+    "tri_solve_lower_rowblock",
+    "y_nll_dist",
     "make_mesh",
     "make_train_mesh",
     "round_up",

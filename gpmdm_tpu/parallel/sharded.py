@@ -54,7 +54,15 @@ from .mesh import round_up
 @dataclasses.dataclass(frozen=True)
 class ShardedTrainContext:
     """Static padded arrays + mesh for the sharded loss (built once per
-    (layout, mesh) pair)."""
+    (layout, mesh) pair).
+
+    ``shard_chol=True`` selects the distributed-Cholesky loss: the
+    observation Gram is row-panel sharded over the ``tp`` axis and
+    factorized with parallel/dist_chol (the O(Ny^3) term actually shards);
+    Y is row-sharded instead of column-sharded.  Requires Ny divisible by
+    |tp|.  False keeps the replicated-Cholesky loss (columns-of-Y
+    trace-term sharding only).
+    """
 
     mesh: Mesh
     cfg: GPMDMConfig
@@ -64,6 +72,7 @@ class ShardedTrainContext:
     idx_out: np.ndarray
     mask: np.ndarray
     D_pad: int
+    shard_chol: bool = False
 
     @property
     def ep(self) -> int:
@@ -74,9 +83,19 @@ class ShardedTrainContext:
         return self.mesh.shape["tp"]
 
 
-def make_context(cfg: GPMDMConfig, layout: DataLayout, mesh: Mesh) -> ShardedTrainContext:
+def make_context(
+    cfg: GPMDMConfig,
+    layout: DataLayout,
+    mesh: Mesh,
+    shard_chol: bool = False,
+) -> ShardedTrainContext:
     ep = mesh.shape["ep"]
     tp = mesh.shape["tp"]
+    if shard_chol and layout.Ny % tp != 0:
+        raise ValueError(
+            f"shard_chol requires Ny ({layout.Ny}) divisible by the tp axis "
+            f"({tp}); pad the data or use shard_chol=False"
+        )
     pads = padded_class_indices(layout, n_class_pad=round_up(layout.n_classes, ep))
     return ShardedTrainContext(
         mesh=mesh,
@@ -86,7 +105,8 @@ def make_context(cfg: GPMDMConfig, layout: DataLayout, mesh: Mesh) -> ShardedTra
         idx_prev=pads["idx_prev"],
         idx_out=pads["idx_out"],
         mask=pads["mask"],
-        D_pad=round_up(cfg.D, tp),
+        D_pad=cfg.D if shard_chol else round_up(cfg.D, tp),
+        shard_chol=shard_chol,
     )
 
 
@@ -118,6 +138,8 @@ def nll_sharded(
     Numerically identical to :func:`gpmdm_tpu.models.core.nll` (same math,
     different partitioning).  Y_padded must come from :func:`pad_Y`.
     """
+    if ctx.shard_chol:
+        return _nll_sharded_chol(params, Y_padded, ctx, balance)
     cfg, layout = ctx.cfg, ctx.layout
     lam_pad = _pad_lambdas(params.y_log_lambdas, ctx)
     idx_in = jnp.asarray(ctx.idx_in)
@@ -173,6 +195,90 @@ def nll_sharded(
     return fn(params, Y_padded, lam_pad, idx_in, idx_prev, idx_out, mask)
 
 
+def _nll_sharded_chol(
+    params: core.GPMDMParams,
+    Y: jax.Array,
+    ctx: ShardedTrainContext,
+    balance: float = 1.0,
+) -> jax.Array:
+    """Distributed-Cholesky MAP loss: the observation Gram is row-panel
+    sharded over ``tp`` and factorized with parallel/dist_chol, so the
+    O(Ny^3) term — which the replicated path runs identically on every
+    device — actually parallelizes.  Dynamics stays expert-parallel on
+    ``ep``.
+
+    Local-share pattern: each device returns its partial of the loss (an
+    (ep, tp) array of shares after shard_map), summed outside together
+    with the parameter-only constant terms; this keeps shard_map's
+    transpose semantics unambiguous around the custom-vjp NLL core (see
+    dist_chol.y_nll_dist).
+    """
+    from ..ops.linalg import _REL_JITTER
+    from .dist_chol import y_nll_dist
+
+    cfg, layout = ctx.cfg, ctx.layout
+    N = layout.Ny
+    tp, ep = ctx.tp, ctx.ep
+    nb = N // tp
+    idx_in = jnp.asarray(ctx.idx_in)
+    idx_prev = jnp.asarray(ctx.idx_prev)
+    idx_out = jnp.asarray(ctx.idx_out)
+    mask = jnp.asarray(ctx.mask, dtype=Y.dtype)
+    rel = _REL_JITTER.get(jnp.dtype(Y.dtype), 0.0)
+
+    def local_share(params, Y_rows, idx_in_sh, idx_prev_sh, idx_out_sh, mask_sh):
+        # ---- observation NLL share: Gram row panel + distributed Cholesky
+        i_tp = jax.lax.axis_index("tp")
+        X_rows = jax.lax.dynamic_slice_in_dim(params.X, i_tp * nb, nb, axis=0)
+        K_i = K.y_kernel(
+            X_rows,
+            params.X,
+            params.y_log_lengthscales,
+            params.y_log_sigma_n,
+            cfg.sigma_n_num_Y,
+            with_noise=False,
+        )
+        noise = jnp.exp(params.y_log_sigma_n) ** 2 + cfg.sigma_n_num_Y**2
+        # global-diagonal noise + the same dtype-relative jitter
+        # ops.linalg.chol_lower adds (mean diag of Ky is exactly 1 + noise)
+        row_global = i_tp * nb + jnp.arange(nb)
+        eye_mask = (jnp.arange(N)[None, :] == row_global[:, None]).astype(
+            K_i.dtype
+        )
+        K_i = K_i + (noise + rel * (1.0 + noise)) * eye_mask
+        w2 = jnp.exp(params.y_log_lambdas) ** 2
+        y_share = y_nll_dist(K_i, Y_rows, w2, "tp") / float(ep)
+
+        # ---- dynamics NLL share: class blocks on ep (replicated over tp)
+        terms = core.x_nll_padded_blocks(
+            params, cfg, idx_in_sh, idx_prev_sh, idx_out_sh, mask_sh
+        )
+        b = balance if cfg.balance_fix else 1.0
+        x_share = b * jnp.sum(terms) / float(tp)
+        return (y_share + x_share).reshape(1, 1)
+
+    shares = shard_map(
+        local_share,
+        mesh=ctx.mesh,
+        in_specs=(
+            P(),  # params replicated
+            P("tp", None),  # Y rows
+            P("ep", None),  # per-class index arrays
+            P("ep", None),
+            P("ep", None),
+            P("ep", None),
+        ),
+        out_specs=P("ep", "tp"),
+        check_vma=False,  # the checker can't see through the custom_vjp
+    )(params, Y, idx_in, idx_prev, idx_out, mask)
+    b = balance if cfg.balance_fix else 1.0
+    consts = (
+        -float(layout.Ny) * 2.0 * jnp.sum(params.y_log_lambdas)
+        - b * float(layout.Nx) * 2.0 * jnp.sum(params.x_log_lambdas)
+    )
+    return jnp.sum(shares) + consts
+
+
 def make_sharded_update_step(
     ctx: ShardedTrainContext,
     optimizer: optax.GradientTransformation,
@@ -209,15 +315,20 @@ def train_adam_sharded(
     train_cfg: TrainConfig = TrainConfig(),
     mode: str = "all",
     opt_state=None,
+    shard_chol: bool = False,
 ):
     """Sharded counterpart of trainer.train_adam: the whole optimization
     runs as one jitted lax.scan of sharded update steps.
+
+    ``shard_chol=True`` row-shards the observation Gram and factorizes it
+    with the distributed blocked Cholesky (parallel/dist_chol) instead of
+    replicating the O(Ny^3) factorization on every device.
 
     Returns (params, opt_state, losses).
     """
     from ..train.trainer import trainable_mask
 
-    ctx = make_context(cfg, layout, mesh)
+    ctx = make_context(cfg, layout, mesh, shard_chol=shard_chol)
     optimizer = optax.adam(train_cfg.lr)
     if opt_state is None:
         opt_state = optimizer.init(params)
