@@ -5,6 +5,15 @@ state (gpmdm.py:1307-1346; SURVEY.md §5 checkpoint/resume).  Here the
 training loop can write a full train-state snapshot (params + Adam moments +
 step counter + loss history) every K steps, atomically (tmp file + rename),
 so a killed run resumes from the last snapshot.
+
+Two backends share the same train-state schema:
+
+- ``save_train_state`` / ``load_train_state`` — single-file ``.npz``
+  (atomic tmp-file + rename), zero extra dependencies; the default.
+- ``save_train_state_orbax`` / ``load_train_state_orbax`` — Orbax
+  ``StandardCheckpointer`` directories, for multi-host deployments and
+  interop with the broader JAX checkpoint ecosystem (async-safe atomic
+  finalization is Orbax's own).
 """
 
 from __future__ import annotations
@@ -62,3 +71,49 @@ def load_train_state(path, params_template, opt_state_template) -> Tuple[Any, An
         opt_state = jax.tree.unflatten(o_tree, o_leaves)
         losses = np.asarray(data["losses"]) if "losses" in data else None
         return params, opt_state, meta["step"], losses
+
+
+def save_train_state_orbax(path, params, opt_state, step: int, losses=None) -> None:
+    """Write the same train-state snapshot through Orbax (a checkpoint
+    DIRECTORY, not a file).  Orbax performs its own atomic finalization."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    state = {
+        "params": jax.tree.leaves(params),
+        "opt_state": jax.tree.leaves(opt_state),
+        "step": int(step),
+    }
+    if losses is not None:
+        state["losses"] = np.asarray(losses)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+
+def load_train_state_orbax(
+    path, params_template, opt_state_template
+) -> Tuple[Any, Any, int, Optional[np.ndarray]]:
+    """Load an Orbax snapshot back into the given pytree structures.
+
+    Returns (params, opt_state, step, losses-or-None).
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path)
+    p_dtypes = [l.dtype for l in jax.tree.leaves(params_template)]
+    p_leaves = [
+        jnp.asarray(l, dtype=dt) for l, dt in zip(state["params"], p_dtypes)
+    ]
+    params = jax.tree.unflatten(jax.tree.structure(params_template), p_leaves)
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(opt_state_template),
+        [jnp.asarray(l) for l in state["opt_state"]],
+    )
+    losses = np.asarray(state["losses"]) if "losses" in state else None
+    return params, opt_state, int(state["step"]), losses

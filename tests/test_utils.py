@@ -196,3 +196,42 @@ def test_evaluate_pf_emits_logger_records():
     assert len(logger.history["trial_frame_acc"]) == len(te)
     assert logger.last("fps") > 0
     assert abs(logger.last("frame_acc") - report.frame_metrics["accuracy"]) < 1e-9
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The Orbax train-state backend restores params/opt-state/step/losses
+    bit-identically and resumes to the same trajectory as the .npz backend."""
+    import optax
+
+    from gpmdm_tpu.utils.checkpoint import (
+        load_train_state_orbax,
+        save_train_state_orbax,
+    )
+
+    m = small_model()
+    Y = m.get_Y()
+    tc = TrainConfig(num_steps=5, lr=0.01)
+    res = train_adam(m.params, Y, m.config, m.layout, tc)
+    path = tmp_path / "orbax_ckpt"
+    save_train_state_orbax(path, res.params, res.opt_state, 5, res.losses)
+
+    opt_template = optax.adam(0.01).init(m.params)
+    params, opt_state, step, losses = load_train_state_orbax(
+        path, m.params, opt_template
+    )
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(losses), np.asarray(res.losses))
+    for a, b in zip(
+        __import__("jax").tree.leaves(params),
+        __import__("jax").tree.leaves(res.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resuming from the orbax snapshot == continuing uninterrupted
+    cont = train_adam(
+        res.params, Y, m.config, m.layout, tc, opt_state=res.opt_state
+    )
+    resumed = train_adam(params, Y, m.config, m.layout, tc, opt_state=opt_state)
+    np.testing.assert_allclose(
+        np.asarray(resumed.losses), np.asarray(cont.losses), rtol=1e-12
+    )
