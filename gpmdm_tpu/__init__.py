@@ -9,6 +9,7 @@ for TPU (jit, vmap, lax.scan, shard_map, Pallas).
 
 from .config import GPMDMConfig, PFConfig, TrainConfig
 from .models.gpmdm import GPMDM
+from .models.back_constrained import BCGPMDM
 from .models.sparse_gpmdm import SparseGPMDM
 from .filter.particle_filter import GPMDM_PF
 
@@ -17,6 +18,7 @@ __version__ = "0.1.0"
 __all__ = [
     "GPMDM",
     "SparseGPMDM",
+    "BCGPMDM",
     "GPMDM_PF",
     "GPMDMConfig",
     "PFConfig",

@@ -63,10 +63,14 @@ def _load_dataset(args):
 
 
 def _cmd_train(args) -> int:
-    from . import GPMDM, SparseGPMDM
+    from . import BCGPMDM, GPMDM, SparseGPMDM
 
     train, _, D = _load_dataset(args)
-    cls = SparseGPMDM if args.sparse else GPMDM
+    if args.sparse and args.back_constrained:
+        print("--sparse and --back-constrained are mutually exclusive")
+        return 2
+    cls = (SparseGPMDM if args.sparse
+           else BCGPMDM if args.back_constrained else GPMDM)
     extra = (
         {"n_inducing_y": args.inducing, "n_inducing_x": args.inducing}
         if args.sparse
@@ -209,6 +213,9 @@ def main(argv=None) -> int:
                     help="sparse inducing-point model (O(N M^2) training)")
     pt.add_argument("--inducing", type=int, default=64,
                     help="inducing points per GP (with --sparse)")
+    pt.add_argument("--back-constrained", action="store_true",
+                    help="back-constrained latents: X = k(Y,Y) W, smooth "
+                         "observation->latent inverse map")
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate the particle filter on test trials")

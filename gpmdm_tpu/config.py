@@ -73,6 +73,12 @@ class GPMDMConfig:
     flg_train_x_lin_coeff: bool = True
     balance_fix: bool = True
     dtype: str = "float32"
+    # Back-constraint (models/back_constrained.py): when > 0, the latent
+    # matrix is parameterized as X = k_rbf(Y, Y; this lengthscale) @ W and
+    # W is trained instead of X (smooth inverse mapping, Lawrence &
+    # Quinonero-Candela 2006).  0.0 = unconstrained X (the reference's
+    # parameterization).
+    back_constraint_ls: float = 0.0
 
     def __post_init__(self):
         if self.dyn_target not in ("full", "delta"):

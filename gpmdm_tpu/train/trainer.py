@@ -90,6 +90,11 @@ def _get_run_chunk(
 
         mask = sparse_trainable_mask(cfg, mode)
         loss_fn = sparse.sparse_nll
+    elif kind == "bc":
+        from ..models.back_constrained import bc_nll
+
+        mask = trainable_mask(cfg, mode)  # W rides in the X slot
+        loss_fn = bc_nll
     else:
         raise ValueError(f"unknown model kind {kind!r}")
     step = make_update_step(cfg, layout, optimizer, balance, mask, loss_fn)

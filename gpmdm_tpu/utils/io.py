@@ -71,9 +71,12 @@ def save_model(model, file_path) -> None:
         for i, s in enumerate(seqs):
             arrays[f"obs_{c}_{i}"] = np.asarray(s)
     if model.params is not None:
-        meta["param_fields"] = [f.name for f in dataclasses.fields(model.params)]
+        # BCGPMDM persists W in the X slot (the materialized X = K_b @ W is
+        # recomputed at load time from the saved data + config lengthscale)
+        params_out = getattr(model, "_params_for_save", lambda: model.params)()
+        meta["param_fields"] = [f.name for f in dataclasses.fields(params_out)]
         for f in meta["param_fields"]:
-            arrays[f"param_{f}"] = np.asarray(getattr(model.params, f))
+            arrays[f"param_{f}"] = np.asarray(getattr(params_out, f))
     if model._opt_state is not None:
         import jax
 
@@ -111,6 +114,11 @@ def load_model(cls, file_path):
                 "n_inducing_y": meta["n_inducing_y"],
                 "n_inducing_x": meta["n_inducing_x"],
             }
+        elif meta.get("model_class") == "BCGPMDM":
+            from ..models.back_constrained import BCGPMDM
+
+            cls = BCGPMDM
+            extra = {"back_lengthscale": cfg.back_constraint_ls}
         model = cls(
             **extra,
             D=cfg.D,
@@ -153,6 +161,12 @@ def load_model(cls, file_path):
             model.params = _ParamCls(
                 **{f: jnp.asarray(data[f"param_{f}"], dtype=dt) for f in fields}
             )
+            if meta.get("model_class") == "BCGPMDM":
+                # X slot carried W; restore config lengthscale + rematerialize
+                model.config = model.config.replace(
+                    back_constraint_ls=cfg.back_constraint_ls
+                )
+                model._W = model.params.X
             if meta.get("has_opt_state"):
                 import jax
                 import optax
@@ -165,7 +179,10 @@ def load_model(cls, file_path):
                     jnp.asarray(data[f"opt_{i}"]) for i in range(meta["n_opt_leaves"])
                 ]
                 model._opt_state = jax.tree.unflatten(treedef, leaves)
-            model._precompute_kernel_inverses()
+            if meta.get("model_class") == "BCGPMDM":
+                model._materialize()  # X <- K_b @ W, then precompute
+            else:
+                model._precompute_kernel_inverses()
     return model
 
 
