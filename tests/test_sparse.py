@@ -169,6 +169,64 @@ def test_sparse_hour_long_sequences():
     assert np.isfinite(np.asarray(outs.class_probs)).all()
 
 
+def test_vfe_upper_bounds_exact_and_monotone_in_M():
+    """Titsias-VFE structural properties (f64):
+
+    1. for ANY inducing set, the sparse objective is an UPPER bound on the
+       exact NLL (the VFE lower-bounds the log marginal likelihood), and
+    2. for NESTED inducing sets Z_8 ⊂ Z_16 ⊂ Z_32, adding inducing points
+       never worsens the bound (monotone non-increasing NLL).
+
+    Both must hold within jitter tolerance for every map the model trains
+    (observation GP + per-class dynamics GPs summed by sparse_nll)."""
+    m, _, _ = build(GPMDM)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    exact = float(core.nll(m.params, Y, m.config, m.layout))
+
+    X0 = np.asarray(m.params.X)
+    Xin, _ = xin_xout(m.params.X, m.layout, m.config.dyn_target)
+    Xin = np.asarray(Xin)
+    rng = np.random.default_rng(0)
+    C = m.layout.n_classes
+    offs = np.asarray(m.layout.x_class_offsets)
+    perm_y = rng.permutation(X0.shape[0])
+    perms_x = [rng.permutation(int(offs[c + 1]) - int(offs[c])) for c in range(C)]
+
+    nlls = []
+    for M in (8, 16, 32):
+        Zy = X0[perm_y[:M]]
+        Zx = np.stack(
+            [Xin[int(offs[c]) + perms_x[c][:M]] for c in range(C)]
+        )
+        sp = to_sparse_params(m.params, Zy, Zx)
+        nlls.append(float(sparse.sparse_nll(sp, Y, m.config, m.layout)))
+
+    tol = 1e-6 * abs(exact) + 1e-3
+    for v in nlls:
+        assert v >= exact - tol, (v, exact)
+    assert nlls[0] >= nlls[1] - tol >= nlls[2] - 2 * tol, nlls
+
+
+def test_vfe_trace_term_nonnegative():
+    """tr(Knn − Qnn) ≥ 0 elementwise on the diagonal: the Nyström residual
+    Knn − Qnn is the Schur complement of a PSD matrix, so the VFE trace
+    regularizer can never reward the approximation.  Pins the Kuu-jitter
+    choice — an over-jittered Lm would inflate Qnn and flip signs."""
+    from gpmdm_tpu.ops import kernels as K
+
+    m, _, _ = build(GPMDM)
+    X0 = np.asarray(m.params.X)
+    rng = np.random.default_rng(1)
+    Zy = jnp.asarray(X0[rng.permutation(X0.shape[0])[:12]])
+    Kmm = np.asarray(K.rbf_kernel(Zy, Zy, m.params.y_log_lengthscales))
+    Kmn = np.asarray(K.rbf_kernel(Zy, m.params.X, m.params.y_log_lengthscales))
+    Lm = np.linalg.cholesky(Kmm + 1e-6 * np.eye(Kmm.shape[0]))
+    V = np.linalg.solve(Lm, Kmn)
+    qnn_diag = np.sum(V * V, axis=0)
+    resid = 1.0 - qnn_diag  # RBF has unit diagonal (reference gpmdm.py:445)
+    assert resid.min() >= -1e-9, resid.min()
+
+
 def test_vfe_finite_with_duplicate_inducing_points():
     """Near-duplicate inducing points (subsampled consecutive motion frames)
     make Kuu numerically singular — measured NaN on TPU at M=256 before the
