@@ -155,6 +155,14 @@ class PFConfig:
         frame like the reference (gpmdm_pf.py:206, which has no ESS
         logic); < 1 requires ``accumulate_weights=True`` and skips the
         (expensive) resampling gather on healthy frames.
+    quad_precision:
+        MXU precision for the variance-quad matmuls alone (Kinv @ Kstar and
+        its per-class analogue) — the filter's single largest FLOP sink.
+        Quad errors only perturb the predictive VARIANCE (never the mean),
+        which the resampling step tolerates far better than mean/star-kernel
+        errors, so this can be dropped below ``precision``.  None (default)
+        follows ``precision``; 'default' (1-pass bf16) is the measured
+        speed lever.
     """
 
     num_particles: int = 100
@@ -164,6 +172,7 @@ class PFConfig:
     precision: str = "high"
     pallas: str = "auto"
     resample_threshold: float = 1.0
+    quad_precision: str | None = None
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
@@ -172,6 +181,10 @@ class PFConfig:
             raise ValueError("num_particles must be >= 1")
         if self.precision not in ("default", "high", "highest"):
             raise ValueError("precision must be 'default', 'high' or 'highest'")
+        if self.quad_precision not in (None, "default", "high", "highest"):
+            raise ValueError(
+                "quad_precision must be None, 'default', 'high' or 'highest'"
+            )
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError("pallas must be 'auto', 'on' or 'off'")
         if not (0.0 < self.resample_threshold <= 1.0):
@@ -192,3 +205,15 @@ class PFConfig:
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
         }[self.precision]
+
+    @property
+    def lax_quad_precision(self):
+        import jax
+
+        if self.quad_precision is None:
+            return self.lax_precision
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.quad_precision]

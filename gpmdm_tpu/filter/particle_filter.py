@@ -297,6 +297,7 @@ def pf_step(
                 inv_ls,
                 lin_w,
                 n_valid=post.Xin_c.shape[1],
+                mxu_precision=pf_cfg.lax_precision,
             )
             var_common = diag_star - quad_ci
             m_list.append(mean_ci)
@@ -307,7 +308,8 @@ def pf_step(
         variances = jnp.stack(v_list)
     else:
         means, variances = predict_x_all_classes(
-            post, params, xin, cfg, precision=pf_cfg.lax_precision
+            post, params, xin, cfg, precision=pf_cfg.lax_precision,
+            quad_precision=pf_cfg.lax_quad_precision,
         )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
@@ -335,6 +337,7 @@ def pf_step(
             jnp.exp(-params.y_log_lengthscales),
             z,
             jnp.exp(2.0 * params.y_log_lambdas),
+            mxu_precision=pf_cfg.lax_precision,
         )
         diag = _K.y_diag_kernel(x_new, params.y_log_sigma_n, cfg.sigma_n_num_Y, False)
         var_c = jnp.maximum(diag - quad, 1e-12)
@@ -343,7 +346,8 @@ def pf_step(
         log_lik = -0.5 * qres / var_c - coeff * logdet - 0.5 * cfg.D * _LOG_2PI
     else:
         mean_y, var_y = predict_y(
-            post, params, x_new, cfg, precision=pf_cfg.lax_precision
+            post, params, x_new, cfg, precision=pf_cfg.lax_precision,
+            quad_precision=pf_cfg.lax_quad_precision,
         )  # (P, D)
         var_y = jnp.maximum(var_y, 1e-12)
         log_lik = observation_log_lik(

@@ -436,6 +436,7 @@ def predict_y(
     cfg: GPMDMConfig,
     with_noise: bool = False,
     precision=_PREC,
+    quad_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation GP posterior (reference map_x_to_y,
     gpmdm.py:923-963).
@@ -444,12 +445,18 @@ def predict_y(
     variance is scaled by exp(y_log_lambdas)^-2 per output dimension.
     ``precision`` tunes the MXU pass count: HIGHEST for training-grade
     accuracy, HIGH/DEFAULT for the particle-filter hot path.
+    ``quad_precision`` (None -> ``precision``) separately tunes the
+    variance-quad matmul Kinv @ Kstar — errors there perturb only the
+    predictive variance, so it tolerates a lower pass count than the
+    star-kernel/mean path.
     """
+    if quad_precision is None:
+        quad_precision = precision
     Kstar = K.rbf_kernel(
         post.X, Xstar, params.y_log_lengthscales, precision=precision
     )  # (Ny, N*)
     mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (N*, D)
-    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=precision)  # (Ny, N*)
+    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=quad_precision)  # (Ny, N*)
     diag_common = K.y_diag_kernel(
         Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise
     ) - jnp.sum(Kstar * KiK, axis=0)
@@ -493,6 +500,7 @@ def predict_x_all_classes(
     cfg: GPMDMConfig,
     with_noise: bool = False,
     precision=_PREC,
+    quad_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics GP posterior for *every* class at once.
 
@@ -500,10 +508,12 @@ def predict_x_all_classes(
     ``map_x_dynamics_for_class`` (gpmdm.py:1032-1068): one einsum on the MXU
     replaces the per-class Python loop, and consumers select the relevant
     class per query point (the expert-parallel pattern used by the particle
-    filter).
+    filter).  ``quad_precision`` (None -> ``precision``): see predict_y.
 
     Returns means (C, N*, d) and variances (C, N*, d).
     """
+    if quad_precision is None:
+        quad_precision = precision
     # Star kernel against every class's padded training inputs: (C, n_max, N*)
     kst = jax.vmap(
         lambda Xin_blk: K.x_kernel(
@@ -518,7 +528,7 @@ def predict_x_all_classes(
     )(post.Xin_c)
     kst = kst * post.mask_c[:, :, None]  # zero padded rows (masked star kernel)
     mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
-    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=precision)
+    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=quad_precision)
     diag_star = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )  # (N*,)

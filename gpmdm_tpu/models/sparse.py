@@ -367,9 +367,12 @@ def precompute_host(
 def predict_y(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
     cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
+    quad_precision=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse latent -> observation posterior; same contract as
-    core.predict_y."""
+    core.predict_y.  ``quad_precision`` is accepted for interface parity and
+    ignored: the SGPR variance path is M-sized triangular solves, not an
+    (N, N) quad matmul."""
     Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales, precision=precision)
     kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
     mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss)
@@ -380,9 +383,12 @@ def predict_y(
 def predict_x_all_classes(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
     cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
+    quad_precision=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse per-class dynamics posterior for every class at once; same
-    contract as core.predict_x_all_classes: (C, N*, d) mean and var."""
+    contract as core.predict_x_all_classes: (C, N*, d) mean and var.
+    ``quad_precision`` accepted for interface parity, ignored (see
+    predict_y)."""
     kss = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )

@@ -61,6 +61,7 @@ def _kernel(
     n_valid: int,
     n_dims: int,
     has_linear: bool,
+    mxu_precision,
 ):
     """One (particle-tile, kinv-row-tile) grid step.
 
@@ -95,6 +96,7 @@ def _kernel(
             lin = jax.lax.dot_general(
                 lt_ref[:], ls_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=mxu_precision,
             )
             ks = ks + lin + bias_ref[0, 0]
         # zero padded training rows (exact masked star kernel)
@@ -103,7 +105,9 @@ def _kernel(
         ks = jnp.where(row_ids < n_valid, ks, 0.0)
         kstar_ref[:] = ks
         mean_ref[:] = jax.lax.dot_general(
-            ks, ay_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ks, ay_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
         )  # (TP, Dpad)
         quad_ref[:] = jnp.zeros_like(quad_ref)
 
@@ -114,7 +118,9 @@ def _kernel(
     ki = kinv_ref[:]  # (TN, Npad)
     ks_rows = kstar_ref[pl.ds(row0, TN), :]  # (TN, TP)
     kik = jax.lax.dot_general(
-        ki, kstar_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ki, kstar_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision,
     )  # (TN, TP)
     contrib = jnp.sum(ks_rows * kik, axis=0)  # (TP,)
     quad_ref[:] += contrib[:, None]
@@ -148,9 +154,18 @@ def _default_tile_p(
 
 def _fused_posterior(
     xt, xs, lt, ls, bias, Ay, Kinv, n_valid: int, has_linear: bool,
-    tile_p: int, tile_n: int,
+    tile_p: int, tile_n: int, mxu_precision=None,
 ):
-    """Shared padded pallas_call wrapper.  All feature inputs pre-scaled."""
+    """Shared padded pallas_call wrapper.  All feature inputs pre-scaled.
+
+    ``mxu_precision`` sets the pass count of the in-kernel dot_generals.
+    CRITICAL: Mosaic lowers an unqualified f32 dot_general to ONE bf16 MXU
+    pass (unlike XLA, whose f32 default is numerically stronger) — measured
+    mean errors ~1e-1 and variance errors that collapsed PF accuracy to
+    chance before this was pinned (tools/check_pallas_numerics.py).
+    Defaults to HIGHEST (6-pass true f32)."""
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
     N, P, D = xt.shape[0], xs.shape[0], Ay.shape[1]
     d = xt.shape[1]
     f32 = jnp.float32
@@ -172,7 +187,8 @@ def _fused_posterior(
 
     grid = (Ppad // tile_p, Npad // tile_n)
     kernel = functools.partial(
-        _kernel, n_valid=n_valid, n_dims=d, has_linear=has_linear
+        _kernel, n_valid=n_valid, n_dims=d, has_linear=has_linear,
+        mxu_precision=mxu_precision,
     )
     mean, quad = pl.pallas_call(
         kernel,
@@ -212,6 +228,7 @@ def _obs_loglik_kernel(
     *,
     n_valid: int,
     n_dims: int,
+    mxu_precision,
 ):
     """Fully-fused observation weighting: star kernel -> mean -> weighted
     residual + variance quad, all in VMEM.  The (P, D) posterior mean never
@@ -246,6 +263,7 @@ def _obs_loglik_kernel(
         mean_ref[:] = jax.lax.dot_general(
             ks, ay_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=mxu_precision,
         )
         quad_ref[:] = jnp.zeros_like(quad_ref)
 
@@ -256,6 +274,7 @@ def _obs_loglik_kernel(
     kik = jax.lax.dot_general(
         ki, kstar_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+                precision=mxu_precision,
     )
     quad_ref[:] += jnp.sum(ks_rows * kik, axis=0)[:, None]
 
@@ -268,7 +287,9 @@ def _obs_loglik_kernel(
         qres_ref[:] = jnp.broadcast_to(qres, qres_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_p", "tile_n", "mxu_precision")
+)
 def fused_obs_loglik(
     Xtrain: jax.Array,
     Xstar: jax.Array,
@@ -279,6 +300,7 @@ def fused_obs_loglik(
     lam2: jax.Array,
     tile_p: int = 0,
     tile_n: int = 128,
+    mxu_precision=None,
 ):
     """Fused observation-weighting pass: (quad (P,), qres (P,)).
 
@@ -311,8 +333,12 @@ def fused_obs_loglik(
     zl = zl.at[0, :D].set(z.astype(f32))
     zl = zl.at[1, :D].set(lam2.astype(f32))
 
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
     grid = (Ppad // tile_p, Npad // tile_n)
-    kernel = functools.partial(_obs_loglik_kernel, n_valid=N, n_dims=d)
+    kernel = functools.partial(
+        _obs_loglik_kernel, n_valid=N, n_dims=d, mxu_precision=mxu_precision
+    )
     quad, qres = pl.pallas_call(
         kernel,
         grid=grid,
@@ -339,7 +365,9 @@ def fused_obs_loglik(
     return quad[:P, 0], qres[:P, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_p", "tile_n"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_p", "tile_n", "mxu_precision")
+)
 def fused_rbf_posterior(
     Xtrain: jax.Array,
     Xstar: jax.Array,
@@ -348,6 +376,7 @@ def fused_rbf_posterior(
     inv_lengthscales: jax.Array,
     tile_p: int = 0,
     tile_n: int = 128,
+    mxu_precision=None,
 ):
     """Fused observation-GP posterior: (mean (P, D), quad (P,)).
 
@@ -365,11 +394,13 @@ def fused_rbf_posterior(
     return _fused_posterior(
         xt, xs, zeros_t, zeros_s, 0.0, Ay, Kinv,
         n_valid=Xtrain.shape[0], has_linear=False,
-        tile_p=tile_p, tile_n=tile_n,
+        tile_p=tile_p, tile_n=tile_n, mxu_precision=mxu_precision,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "tile_p", "tile_n"))
+@functools.partial(
+    jax.jit, static_argnames=("n_valid", "tile_p", "tile_n", "mxu_precision")
+)
 def fused_x_posterior(
     Xin_c: jax.Array,
     Xstar: jax.Array,
@@ -380,6 +411,7 @@ def fused_x_posterior(
     n_valid: int,
     tile_p: int = 0,
     tile_n: int = 128,
+    mxu_precision=None,
 ):
     """Fused dynamics-GP posterior for ONE class block: (mean (P, d),
     quad (P,)).
@@ -406,5 +438,5 @@ def fused_x_posterior(
     return _fused_posterior(
         xt, xs, lt, ls, bias, Axc, Kxc_inv,
         n_valid=n_valid, has_linear=True,
-        tile_p=tile_p, tile_n=tile_n,
+        tile_p=tile_p, tile_n=tile_n, mxu_precision=mxu_precision,
     )
