@@ -59,39 +59,35 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _use_pallas(post, pf_cfg) -> bool:
-    """Fused-kernel policy: 'on' forces it; 'auto' enables it on TPU for the
-    exact posterior once the training-set axis is large enough that keeping
-    the (N, P) star-kernel out of HBM beats XLA's unfused pipeline
-    (measured crossover ~1k rows at P=10k on v5e; below that XLA wins)."""
+    """Fused-kernel policy: 'on' forces it (exact posterior only); 'auto'
+    currently selects the XLA pipeline EVERYWHERE.
+
+    Round-1's measured "fused wins at N >= 1k" was an artifact: Mosaic
+    silently lowered the kernels' f32 dot_generals to single-pass bf16
+    (fast but wrong — chance-level PF accuracy on trained models).  With
+    correct math (tools/sweep_pallas_x.py, v5e, P=10k): at matching 3-pass
+    'high' precision the fused kernels LOSE to XLA's unfused pipeline
+    (dyn 0.52 vs 0.42 ms at N=1024; obs 1.60 vs 1.53 ms at N=2048) — the
+    stage is MXU-bound, so fusing the (N, P) intermediates out of HBM buys
+    less than the in-kernel cast overhead costs; at 'highest' it is a wash
+    (0.88 vs 0.85 ms).  'on' remains available for experimentation — note
+    that on models trained to near-singular posteriors (predictive
+    var_common ~1e-4..1e-3) even the corrected fused weighting measures a
+    frame-accuracy penalty vs XLA (0.72 vs 0.92 on the bench asset): at
+    variances this sharp the two paths' f32 error patterns pick different
+    winning particles, and the XLA pipeline is the arbitrated default."""
     if pf_cfg.pallas == "on":
-        return True
-    return (
-        pf_cfg.pallas == "auto"
-        and isinstance(post, core.Posterior)
-        and jax.default_backend() == "tpu"
-        # upper bound: the fused kernel's VMEM accounting (gp_posterior.
-        # _default_tile_p) — beyond ~4k training rows the resident inputs
-        # alone exceed VMEM; XLA takes over (and sparse is the right
-        # family at that scale anyway)
-        and 1024 <= post.X.shape[0] <= 4096
-    )
+        return isinstance(post, core.Posterior)
+    return False
 
 
 def _use_pallas_obs(post, pf_cfg) -> bool:
     """Gate for the fully-fused observation-weighting kernel
-    (fused_obs_loglik) — same policy as the dynamics gate: the stage is
-    dominated by the (N, N) x (N, P) variance-quad matmul either way, so
-    fusing only pays once the (N, P) star-kernel intermediates XLA would
-    spill to HBM get large (measured: wash at N=480, fused wins at N>=1k).
-    """
+    (fused_obs_loglik) — same policy and same measured outcome as the
+    dynamics gate (see _use_pallas)."""
     if pf_cfg.pallas == "on":
         return isinstance(post, core.Posterior)
-    return (
-        pf_cfg.pallas == "auto"
-        and isinstance(post, core.Posterior)
-        and jax.default_backend() == "tpu"
-        and 1024 <= post.X.shape[0] <= 4096
-    )
+    return False
 
 
 def _predictors(post):

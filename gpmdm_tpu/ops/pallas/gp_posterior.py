@@ -16,6 +16,18 @@ particle tile: compute the Kstar tile once, immediately contract it against
 A and against Kinv row-tiles, and emit only the (P, Dout) mean and (P,)
 quad.
 
+STATUS (measured on v5e, P=10k, N in {1k, 2k, 4k} — tools/sweep_pallas_x.py):
+with numerically-correct matmuls these kernels do NOT beat XLA's unfused
+pipeline — the stage is MXU-bound, so the saved HBM traffic is hidden
+behind the matmul passes, and at matching 3-pass 'high' precision the
+in-kernel bf16 hi/lo emulation (``_mxu_dot``) adds cast overhead that XLA's
+native HIGH avoids (dyn: 0.52 vs 0.42 ms at N=1024).  At 'highest' they are
+a wash.  Round-1's reported fused wins came from Mosaic silently lowering
+unqualified f32 dots to single-pass bf16 — fast but wrong (chance-level PF
+accuracy on trained models).  The filter therefore defaults to the XLA
+path everywhere (``PFConfig(pallas='auto')`` == off); ``pallas='on'``
+keeps the kernels exercisable.
+
 Two entry points share one kernel body:
 
 - :func:`fused_rbf_posterior` — observation GP (unit-variance RBF,
@@ -44,6 +56,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _mxu_dot(a, b, dims, precision):
+    """f32 dot_general inside a Mosaic kernel at a chosen MXU pass count.
+
+    Mosaic implements only DEFAULT (ONE bf16 pass — numerically far weaker
+    than XLA's f32 default; see the module history) and HIGHEST (true f32)
+    for f32 inputs; requesting HIGH raises NotImplementedError.  XLA-high's
+    3-pass scheme is emulated here by hand: split each operand into a bf16
+    hi part and a bf16 lo remainder and accumulate hi*hi + hi*lo + lo*hi in
+    f32 — same error bound as XLA's HIGH at ~3x the speed of HIGHEST.
+    """
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    if precision == jax.lax.Precision.HIGH:
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+    return d(a, b, precision=precision)
 
 
 def _kernel(
@@ -93,22 +128,14 @@ def _kernel(
             sq = sq + diff * diff
         ks = jnp.exp(-sq)
         if has_linear:
-            lin = jax.lax.dot_general(
-                lt_ref[:], ls_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu_precision,
-            )
+            lin = _mxu_dot(lt_ref[:], ls_ref[:], (((1,), (1,)), ((), ())), mxu_precision)
             ks = ks + lin + bias_ref[0, 0]
         # zero padded training rows (exact masked star kernel)
         Npad = ks.shape[0]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
         ks = jnp.where(row_ids < n_valid, ks, 0.0)
         kstar_ref[:] = ks
-        mean_ref[:] = jax.lax.dot_general(
-            ks, ay_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision,
-        )  # (TP, Dpad)
+        mean_ref[:] = _mxu_dot(ks, ay_ref[:], (((0,), (0,)), ((), ())), mxu_precision)  # (TP, Dpad)
         quad_ref[:] = jnp.zeros_like(quad_ref)
 
     # accumulate quad over Kinv row tiles: rows i of this tile contribute
@@ -117,37 +144,42 @@ def _kernel(
     row0 = pl.program_id(1) * TN
     ki = kinv_ref[:]  # (TN, Npad)
     ks_rows = kstar_ref[pl.ds(row0, TN), :]  # (TN, TP)
-    kik = jax.lax.dot_general(
-        ki, kstar_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )  # (TN, TP)
+    kik = _mxu_dot(ki, kstar_ref[:], (((1,), (0,)), ((), ())), mxu_precision)  # (TN, TP)
     contrib = jnp.sum(ks_rows * kik, axis=0)  # (TP,)
     quad_ref[:] += contrib[:, None]
 
 
 def _default_tile_p(
-    Npad: int, dpad: int = 128, Dpad: int = 128, tile_n: int = 128
+    Npad: int, dpad: int = 128, Dpad: int = 128, tile_n: int = 128,
+    mxu_precision=None,
 ) -> int:
-    """Largest particle tile that fits the kernel's FULL VMEM footprint.
+    """Largest particle tile that fits the kernel's VMEM footprint.
 
     Resident per grid step: xt + lt (Npad, dpad each), ay (Npad, Dpad),
     the double-buffered kinv row tile (2 x tile_n x Npad), the (Npad,
-    tile_p) Kstar scratch, and the per-particle-tile blocks.  Budget 12 MB
-    of the ~16 MB VMEM (headroom for Mosaic's own buffers — the previous
-    kstar-only accounting OOM'd at Npad=5120: 18 MB requested).
-    Measured fastest at N~1k is tile_p=1024 (43% over the unfused XLA
-    pipeline), shrinking for larger N."""
-    budget = 15 * 1024 * 1024
-    fixed = 4 * Npad * (2 * dpad + Dpad + 2 * tile_n)
-    for tp in (1024, 512, 256, 128):
+    tile_p) Kstar scratch, and the per-particle-tile blocks; a 1.5x factor
+    on the resident inputs and a 2x factor on the per-tile terms under the
+    emulated-HIGH path (its bf16 hi/lo operand copies) calibrate the model
+    to on-device behavior (v5e sweep: at HIGHEST, tile 512 runs at
+    Npad=1024 but dies at 2048 where 256 runs; the emulated-HIGH tile 512
+    runs at 1024).  Shapes the model rejects may still run with explicit
+    ``tile_p``/``tile_n`` — the accounting is deliberately conservative
+    for an opt-in path."""
+    budget = 12 * 1024 * 1024
+    fixed = 6 * Npad * (2 * dpad + Dpad + 2 * tile_n)
+    emulated = mxu_precision == jax.lax.Precision.HIGH
+    for tp in (512, 256):
         per_tile = 4 * Npad * tp + 4 * tp * (2 * dpad + Dpad + 256)
+        if emulated:
+            per_tile *= 2
         if fixed + per_tile <= budget:
             return tp
     raise ValueError(
-        f"training-set axis too large for the fused kernel's VMEM budget "
-        f"(Npad={Npad}: resident inputs alone need {fixed / 2**20:.1f} MB); "
-        f"use PFConfig(pallas='off') or the sparse model family at this "
+        f"training-set axis too large for the fused kernel's conservative "
+        f"VMEM accounting (Npad={Npad}, "
+        f"{'emulated-HIGH' if emulated else 'HIGHEST'} dots): pass explicit "
+        f"tile_p/tile_n, use PFConfig(pallas='off') (the XLA pipeline is "
+        f"the faster default anyway), or the sparse model family at this "
         f"scale"
     )
 
@@ -174,7 +206,10 @@ def _fused_posterior(
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
     if tile_p == 0:  # adaptive default
-        tile_p = _default_tile_p(Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n)
+        tile_p = _default_tile_p(
+            Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
+            mxu_precision=mxu_precision,
+        )
     Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad(xt.astype(f32), ((0, Npad - N), (0, dpad - d)))
@@ -260,22 +295,14 @@ def _obs_loglik_kernel(
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
         ks = jnp.where(row_ids < n_valid, ks, 0.0)
         kstar_ref[:] = ks
-        mean_ref[:] = jax.lax.dot_general(
-            ks, ay_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=mxu_precision,
-        )
+        mean_ref[:] = _mxu_dot(ks, ay_ref[:], (((0,), (0,)), ((), ())), mxu_precision)
         quad_ref[:] = jnp.zeros_like(quad_ref)
 
     TN = kinv_ref.shape[0]
     row0 = j * TN
     ki = kinv_ref[:]
     ks_rows = kstar_ref[pl.ds(row0, TN), :]
-    kik = jax.lax.dot_general(
-        ki, kstar_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-                precision=mxu_precision,
-    )
+    kik = _mxu_dot(ki, kstar_ref[:], (((1,), (0,)), ((), ())), mxu_precision)
     quad_ref[:] += jnp.sum(ks_rows * kik, axis=0)[:, None]
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -319,8 +346,13 @@ def fused_obs_loglik(
     Npad = _round_up(max(N, 1), max(tile_n, 128))
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
     if tile_p == 0:
-        tile_p = _default_tile_p(Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n)
+        tile_p = _default_tile_p(
+            Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
+            mxu_precision=mxu_precision,
+        )
     Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad((Xtrain * inv_lengthscales).astype(f32),
@@ -333,8 +365,6 @@ def fused_obs_loglik(
     zl = zl.at[0, :D].set(z.astype(f32))
     zl = zl.at[1, :D].set(lam2.astype(f32))
 
-    if mxu_precision is None:
-        mxu_precision = jax.lax.Precision.HIGHEST
     grid = (Ppad // tile_p, Npad // tile_n)
     kernel = functools.partial(
         _obs_loglik_kernel, n_valid=N, n_dims=d, mxu_precision=mxu_precision

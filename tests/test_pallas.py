@@ -217,7 +217,10 @@ def test_pf_step_fused_obs_loglik_matches_xla(monkeypatch):
     m.init_X()
     m.train_adam(num_opt_steps=10, lr=0.01)
 
-    pfc = PFConfig(num_particles=64)
+    # 'highest' so both paths compute exact f32: at the default 'high' the
+    # fused kernel's bf16 hi/lo 3-pass emulation (real even in interpret
+    # mode) diverges from CPU-XLA's exact f32 by ~1% of |log_lik|.
+    pfc = PFConfig(num_particles=64, precision="highest")
     log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=jnp.float32))
     state = pfmod.pf_init(
         m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(3), pfc
@@ -245,3 +248,29 @@ def test_pf_step_fused_obs_loglik_matches_xla(monkeypatch):
         np.asarray(o_fused.state_mean), np.asarray(o_ref.state_mean),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_mxu_dot_high_emulation_error_level():
+    """The in-kernel HIGH emulation (bf16 hi/lo 3-pass, _mxu_dot) must sit
+    at XLA-HIGH's error level: far tighter than 1-pass bf16, looser than
+    exact f32 — pins that the split actually happens."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu.ops.pallas.gp_posterior import _mxu_dot
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(96, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64, 80)), jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+    truth = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    scale = np.abs(truth).max()
+
+    err_high = np.abs(np.asarray(_mxu_dot(a, b, dims, jax.lax.Precision.HIGH),
+                                 np.float64) - truth).max() / scale
+    bf = lambda x: np.asarray(x, np.float32).astype(np.dtype("bfloat16"))
+    err_1pass = np.abs(
+        bf(a).astype(np.float64) @ bf(b).astype(np.float64) - truth
+    ).max() / scale
+    assert err_high < 2e-4, err_high       # ~3-pass level
+    assert err_1pass > 1e-3, err_1pass     # 1-pass is much worse
+    assert err_high < err_1pass / 5
