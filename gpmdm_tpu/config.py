@@ -162,7 +162,11 @@ class PFConfig:
         which the resampling step tolerates far better than mean/star-kernel
         errors, so this can be dropped below ``precision``.  None (default)
         follows ``precision``; 'default' (1-pass bf16) is the measured
-        speed lever.
+        speed lever (+27% fps at -0.05 frame accuracy on the bench asset —
+        below the 0.90 bar, hence opt-in).  XLA path only: the opt-in
+        fused kernels (``pallas='on'``) run every dot at ``precision``
+        and ignore this knob, as does the sparse posterior (M-sized
+        triangular solves, no quad matmul).
     """
 
     num_particles: int = 100

@@ -58,6 +58,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _canon_precision(precision):
+    """Accept lax.Precision members, their string names ('high', ...), or
+    None (-> HIGHEST).  String configs are the norm elsewhere in this repo;
+    an un-canonicalized 'high' would compare unequal to Precision.HIGH,
+    skip the 3-pass emulation, and crash in Mosaic on device while passing
+    in CPU interpret mode."""
+    if precision is None:
+        return jax.lax.Precision.HIGHEST
+    if isinstance(precision, str):
+        return jax.lax.Precision(precision)
+    return precision
+
+
 def _mxu_dot(a, b, dims, precision):
     """f32 dot_general inside a Mosaic kernel at a chosen MXU pass count.
 
@@ -68,6 +81,7 @@ def _mxu_dot(a, b, dims, precision):
     hi part and a bf16 lo remainder and accumulate hi*hi + hi*lo + lo*hi in
     f32 — same error bound as XLA's HIGH at ~3x the speed of HIGHEST.
     """
+    precision = _canon_precision(precision)
     d = functools.partial(
         jax.lax.dot_general, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
@@ -149,38 +163,49 @@ def _kernel(
     quad_ref[:] += contrib[:, None]
 
 
+# On-device validated default particle tiles, keyed by (kernel flavour,
+# whether the emulated-HIGH bf16 hi/lo copies are live) -> {max Npad: tile}.
+# Every entry ran on a v5e in tools/sweep_pallas_x.py / exp_quad_precision;
+# shapes between entries use the next-larger bound's (smaller) tile.  An
+# analytic VMEM model was tried twice and mispredicted Mosaic's true
+# allocation in both directions (tile 512 runs at Npad=1024 but dies at
+# 2048 where 256 runs; tile 128 dies at 4096 where 256 runs), so the
+# defaults are pinned to measurements instead.
+_VALIDATED_TILES = {
+    # dynamics kernel (has_linear=True: lt/ls resident, 3 dots)
+    ("x", False): {1024: 512, 2048: 256, 4096: 256},   # HIGHEST / DEFAULT
+    ("x", True): {1024: 512},                          # emulated HIGH
+    # observation kernels (no linear features)
+    ("obs", False): {1024: 1024, 2048: 512},
+    ("obs", True): {1024: 512, 2048: 512},
+}
+
+
 def _default_tile_p(
     Npad: int, dpad: int = 128, Dpad: int = 128, tile_n: int = 128,
-    mxu_precision=None,
+    mxu_precision=None, kernel: str = "x",
 ) -> int:
-    """Largest particle tile that fits the kernel's VMEM footprint.
+    """Pick the largest particle tile VALIDATED on-device for this shape.
 
-    Resident per grid step: xt + lt (Npad, dpad each), ay (Npad, Dpad),
-    the double-buffered kinv row tile (2 x tile_n x Npad), the (Npad,
-    tile_p) Kstar scratch, and the per-particle-tile blocks; a 1.5x factor
-    on the resident inputs and a 2x factor on the per-tile terms under the
-    emulated-HIGH path (its bf16 hi/lo operand copies) calibrate the model
-    to on-device behavior (v5e sweep: at HIGHEST, tile 512 runs at
-    Npad=1024 but dies at 2048 where 256 runs; the emulated-HIGH tile 512
-    runs at 1024).  Shapes the model rejects may still run with explicit
-    ``tile_p``/``tile_n`` — the accounting is deliberately conservative
-    for an opt-in path."""
-    budget = 12 * 1024 * 1024
-    fixed = 6 * Npad * (2 * dpad + Dpad + 2 * tile_n)
-    emulated = mxu_precision == jax.lax.Precision.HIGH
-    for tp in (512, 256):
-        per_tile = 4 * Npad * tp + 4 * tp * (2 * dpad + Dpad + 256)
-        if emulated:
-            per_tile *= 2
-        if fixed + per_tile <= budget:
-            return tp
+    See _VALIDATED_TILES.  Raises for shapes with no validated entry —
+    direct kernel callers may still pass explicit ``tile_p``/``tile_n``
+    (untested territory); particle-filter users should keep the default
+    ``PFConfig(pallas='off'/'auto')`` — the XLA pipeline is the faster
+    path at every measured shape anyway — or switch to the sparse family
+    at this scale."""
+    emulated = _canon_precision(mxu_precision) == jax.lax.Precision.HIGH
+    table = _VALIDATED_TILES[(kernel, emulated)]
+    for bound in sorted(table):
+        if Npad <= bound:
+            return table[bound]
     raise ValueError(
-        f"training-set axis too large for the fused kernel's conservative "
-        f"VMEM accounting (Npad={Npad}, "
-        f"{'emulated-HIGH' if emulated else 'HIGHEST'} dots): pass explicit "
-        f"tile_p/tile_n, use PFConfig(pallas='off') (the XLA pipeline is "
-        f"the faster default anyway), or the sparse model family at this "
-        f"scale"
+        f"no on-device-validated fused-kernel tiling for Npad={Npad} "
+        f"({kernel} kernel, {'emulated-HIGH' if emulated else 'HIGHEST'} "
+        f"dots; largest validated Npad is {max(table)}).  Use "
+        f"PFConfig(pallas='off') — the XLA pipeline is the faster default "
+        f"at every measured shape — or the sparse model family at this "
+        f"scale; direct kernel callers may experiment via explicit "
+        f"tile_p/tile_n"
     )
 
 
@@ -196,8 +221,7 @@ def _fused_posterior(
     mean errors ~1e-1 and variance errors that collapsed PF accuracy to
     chance before this was pinned (tools/check_pallas_numerics.py).
     Defaults to HIGHEST (6-pass true f32)."""
-    if mxu_precision is None:
-        mxu_precision = jax.lax.Precision.HIGHEST
+    mxu_precision = _canon_precision(mxu_precision)
     N, P, D = xt.shape[0], xs.shape[0], Ay.shape[1]
     d = xt.shape[1]
     f32 = jnp.float32
@@ -206,9 +230,11 @@ def _fused_posterior(
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
     if tile_p == 0:  # adaptive default
+        # always the "x" table: this wrapper keeps lt/ls resident even for
+        # the pure-RBF entry point, so its footprint is the dynamics one
         tile_p = _default_tile_p(
             Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
-            mxu_precision=mxu_precision,
+            mxu_precision=mxu_precision, kernel="x",
         )
     Ppad = _round_up(max(P, 1), tile_p)
 
@@ -346,12 +372,11 @@ def fused_obs_loglik(
     Npad = _round_up(max(N, 1), max(tile_n, 128))
     Dpad = _round_up(max(D, 1), 128)
     dpad = _round_up(max(d, 1), 128)
-    if mxu_precision is None:
-        mxu_precision = jax.lax.Precision.HIGHEST
+    mxu_precision = _canon_precision(mxu_precision)
     if tile_p == 0:
         tile_p = _default_tile_p(
             Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
-            mxu_precision=mxu_precision,
+            mxu_precision=mxu_precision, kernel="obs",
         )
     Ppad = _round_up(max(P, 1), tile_p)
 
@@ -410,8 +435,8 @@ def fused_rbf_posterior(
 ):
     """Fused observation-GP posterior: (mean (P, D), quad (P,)).
 
-    tile_p=0 selects the VMEM-aware default (measured sweep: (1024, 128)
-    fastest at N~1k).
+    tile_p=0 selects the on-device-validated default tile for the shape
+    (see _VALIDATED_TILES; raises where none exists).
 
     mean = Kstar^T Ay,  quad = sum(Kstar * (Kinv Kstar), 0) with
     Kstar = exp(-sum_k ((xt-xs)/l)^2).  Equivalent to the unfused XLA path

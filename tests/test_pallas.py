@@ -274,3 +274,35 @@ def test_mxu_dot_high_emulation_error_level():
     assert err_high < 2e-4, err_high       # ~3-pass level
     assert err_1pass > 1e-3, err_1pass     # 1-pass is much worse
     assert err_high < err_1pass / 5
+
+
+def test_precision_canonicalization_and_tile_table():
+    """String precisions must canonicalize (an un-canonicalized 'high'
+    would skip the 3-pass emulation and crash in Mosaic on device while
+    passing on CPU), and the tile selector must raise informatively for
+    shapes with no on-device-validated entry."""
+    from gpmdm_tpu.ops.pallas.gp_posterior import (
+        _canon_precision,
+        _default_tile_p,
+        fused_rbf_posterior,
+    )
+
+    assert _canon_precision("high") == jax.lax.Precision.HIGH
+    assert _canon_precision(None) == jax.lax.Precision.HIGHEST
+    assert _default_tile_p(1024, mxu_precision="high", kernel="x") == 512
+    assert _default_tile_p(512, mxu_precision="highest", kernel="obs") == 1024
+    with pytest.raises(ValueError, match="validated"):
+        _default_tile_p(8192, mxu_precision="highest", kernel="x")
+    with pytest.raises(ValueError, match="validated"):
+        _default_tile_p(2048, mxu_precision="high", kernel="x")
+
+    # string precision accepted end-to-end (interpret mode)
+    rng = np.random.default_rng(9)
+    Xt = jnp.asarray(rng.normal(size=(20, 2)), jnp.float32)
+    Xs = jnp.asarray(rng.normal(size=(10, 2)), jnp.float32)
+    Ay = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+    mean, quad = fused_rbf_posterior(
+        Xt, Xs, Ay, jnp.eye(20, dtype=jnp.float32),
+        jnp.ones(2, jnp.float32), mxu_precision="high",
+    )
+    assert np.isfinite(np.asarray(mean)).all()

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Tile sweep of the fused dynamics-posterior Pallas kernel at mid-scale N.
+"""Sweep: fused Pallas posterior kernels vs the unfused XLA pipeline.
 
-Round-1 adopted tile (1024, 128) from a sweep at N=1080 only; this extends
-the measurement to N in {1024, 2048, 4096} (the auto-gate's whole range,
-particle_filter._use_pallas) so the gate and default tiles rest on data
-instead of one point.  Compares, per N:
+This tool produced the evidence that RETIRED the fused-kernel auto-gate
+(particle_filter._use_pallas now always selects XLA; see the
+"Pallas fused-posterior correction" section of docs/BENCHMARKS.md):
+round-1's fused wins were a silent Mosaic bf16 1-pass downgrade, and with
+correct matmul precision the fused path loses at 'high' and washes at
+'highest' for every N in {1024, 2048, 4096}.  Kept for re-running if the
+kernels or Mosaic change.  Compares, per N:
 
   - unfused XLA pipeline (star kernel -> mean + variance quad, the exact
     computation core.predict_x_all_classes does per class),
