@@ -171,18 +171,23 @@ def mode_sharded(args) -> None:
     print(json.dumps({"config": "single-device", "Ny": Ny,
                       "steps_per_sec": round(sps1, 3)}), flush=True)
 
-    for ep, tp in [(8, 1), (2, 4)]:
+    for ep, tp, shard_chol in [(8, 1, False), (2, 4, False), (2, 4, True),
+                               (1, 8, True)]:
+        if shard_chol and Ny % tp != 0:
+            continue
         mesh = make_mesh({"ep": ep, "tp": tp})
 
         def run_sharded(n):
             _, _, losses = train_adam_sharded(
                 m.params, Y, m.config, m.layout, mesh,
                 TrainConfig(num_steps=n, lr=0.01),
+                shard_chol=shard_chol,
             )
             losses.block_until_ready()
 
         sps = _steps_per_sec(run_sharded, args.steps)
-        print(json.dumps({"config": f"ep{ep}xtp{tp}", "Ny": Ny,
+        name = f"ep{ep}xtp{tp}" + ("+distchol" if shard_chol else "")
+        print(json.dumps({"config": name, "Ny": Ny,
                           "steps_per_sec": round(sps, 3),
                           "vs_single": round(sps / sps1, 3)}), flush=True)
 
