@@ -196,29 +196,40 @@ def observation_log_lik(
 
 # Above this particle count, searchsorted(method='compare_all') — a dense
 # (P, P) comparison matrix the VPU chews through tile-fused — loses to the
-# O(P log^2 P) sort lowering.  Measured on v5e at P=10k: compare_all
-# ~0.10 ms vs sort ~0.23 ms in-context; quadratic growth crosses over in
-# the tens of thousands.
-_COMPARE_ALL_MAX_P = 16384
+# O(P) histogram-scatter trick below.  Measured on v5e in a scan context
+# (tools/exp_resample_crossover.py): compare_all 0.13 ms vs scatter
+# 0.19 ms at P=10k, 0.30 vs 0.20 at 16k, 2.24 ('sort') vs 0.92 at 100k.
+_COMPARE_ALL_MAX_P = 12288
 
 
 def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
-    """Systematic (low-variance) resampling: one uniform draw, sorted
-    positions, one searchsorted.  TPU-friendly replacement for per-frame
-    multinomial resampling (reference gpmdm_pf.py:206-213).
+    """Systematic (low-variance) resampling: one uniform draw, equally
+    spaced positions, one sorted-vs-sorted rank computation.  TPU-friendly
+    replacement for per-frame multinomial resampling (reference
+    gpmdm_pf.py:206-213).
 
-    searchsorted lowering matters enormously on TPU: the default binary
-    search is log2(P) rounds of dynamic gathers (~1.1 ms/frame at P=10k),
-    'sort' is one merge-sort (~0.23 ms), and 'compare_all' — dense (P, P)
-    comparisons, pure VPU work with no data movement — wins below
-    ~16k particles (~0.10 ms).  All three return identical indices."""
+    The rank computation ``idx_i = #{j : cum_j < (u+i)/P}`` is lowering-
+    sensitive on TPU.  ``jnp.searchsorted`` default binary search is
+    log2(P) rounds of dynamic gathers (~1.1 ms/frame at P=10k); 'sort' is
+    one merge-sort (~2.2 ms at P=100k); 'compare_all' — dense (P, P)
+    comparisons, pure VPU work — wins up to ~12k particles.  Above that
+    an O(P) histogram exploits that BOTH sides are sorted: the count of
+    positions strictly below cum_j is ``s_j = floor(P*cum_j - u) + 1``
+    (u > 0 makes ties measure-zero), so ``idx_i = #{j : s_j <= i}`` falls
+    out of one scatter-add histogram of s plus a cumsum — 2.4x faster
+    than 'sort' at P=100k (tools/exp_resample_scatter.py).  All paths
+    return identical indices (tests/test_pf.py)."""
     P = log_w.shape[0]
     w = jax.nn.softmax(log_w)
     cum = jnp.cumsum(w)
     u = jax.random.uniform(key, (), dtype=w.dtype)
-    positions = (u + jnp.arange(P, dtype=w.dtype)) / P
-    method = "compare_all" if P <= _COMPARE_ALL_MAX_P else "sort"
-    idx = jnp.searchsorted(cum, positions, method=method)
+    if P <= _COMPARE_ALL_MAX_P:
+        positions = (u + jnp.arange(P, dtype=w.dtype)) / P
+        idx = jnp.searchsorted(cum, positions, method="compare_all")
+    else:
+        s = jnp.clip(jnp.floor(P * cum - u).astype(jnp.int32) + 1, 0, P)
+        hist = jnp.zeros((P + 1,), jnp.int32).at[s].add(1)
+        idx = jnp.cumsum(hist)[:P]
     return jnp.clip(idx, 0, P - 1).astype(jnp.int32)
 
 
