@@ -194,12 +194,9 @@ def observation_log_lik(
     return -0.5 * quad - logdet_coeff * logdet - 0.5 * D * _LOG_2PI
 
 
-# Above this particle count, searchsorted(method='compare_all') — a dense
-# (P, P) comparison matrix the VPU chews through tile-fused — loses to the
-# O(P) histogram-scatter trick below.  Measured on v5e in a scan context
-# (tools/exp_resample_crossover.py): compare_all 0.13 ms vs scatter
-# 0.19 ms at P=10k, 0.30 vs 0.20 at 16k, 2.24 ('sort') vs 0.92 at 100k.
-_COMPARE_ALL_MAX_P = 12288
+# Tile width of the MXU rank computation below; k=128 (one MXU tile) won
+# the sweep at every P in {4k..100k} (tools/exp_resample_mxu.py).
+_RANK_TILE_K = 128
 
 
 def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
@@ -212,24 +209,43 @@ def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
     sensitive on TPU.  ``jnp.searchsorted`` default binary search is
     log2(P) rounds of dynamic gathers (~1.1 ms/frame at P=10k); 'sort' is
     one merge-sort (~2.2 ms at P=100k); 'compare_all' — dense (P, P)
-    comparisons, pure VPU work — wins up to ~12k particles.  Above that
-    an O(P) histogram exploits that BOTH sides are sorted: the count of
-    positions strictly below cum_j is ``s_j = floor(P*cum_j - u) + 1``
-    (u > 0 makes ties measure-zero), so ``idx_i = #{j : s_j <= i}`` falls
-    out of one scatter-add histogram of s plus a cumsum — 2.4x faster
-    than 'sort' at P=100k (tools/exp_resample_scatter.py).  All paths
-    return identical indices (tests/test_pf.py)."""
+    comparisons on the VPU — was the round-2 default (~0.12 ms at 10k).
+
+    The adopted lowering runs the counting on the MXU, exactly.  The
+    count of systematic positions strictly below cum_j is
+    ``s_j = floor(P*cum_j - u) + 1`` (u > 0 makes ties measure-zero), so
+    ``idx_i = #{j : s_j <= i}``.  Factor targets as i = m*k + t:
+
+        idx[m*k + t] = C[m] + (A @ B)[m, t]
+        A[m, j] = [s_j // k == m]   (K x P, 0/1)
+        B[j, t] = [s_j %  k <= t]   (P x k, 0/1)
+        C[m]    = exclusive-cumsum of (A @ B)[:, k-1]   (block totals)
+
+    A 0/1 matmul is EXACT on the MXU even at bf16 (products are 0/1,
+    counts <= P << 2^24 accumulate in f32), so this rides the fast path
+    that is a correctness trap for the posterior matmuls.  Measured on
+    v5e in a scan context (tools/exp_resample_mxu.py): 0.033 ms at
+    P=10k (3.7x compare_all) and 0.26 ms at P=100k (3.5x the
+    histogram-scatter alternative, 8.6x 'sort').  Identical indices to
+    searchsorted on every input (tests/test_pf.py)."""
     P = log_w.shape[0]
+    k = _RANK_TILE_K
     w = jax.nn.softmax(log_w)
     cum = jnp.cumsum(w)
     u = jax.random.uniform(key, (), dtype=w.dtype)
-    if P <= _COMPARE_ALL_MAX_P:
-        positions = (u + jnp.arange(P, dtype=w.dtype)) / P
-        idx = jnp.searchsorted(cum, positions, method="compare_all")
-    else:
-        s = jnp.clip(jnp.floor(P * cum - u).astype(jnp.int32) + 1, 0, P)
-        hist = jnp.zeros((P + 1,), jnp.int32).at[s].add(1)
-        idx = jnp.cumsum(hist)[:P]
+    s = jnp.clip(jnp.floor(P * cum - u).astype(jnp.int32) + 1, 0, P)
+    K = -(-P // k)
+    A = (s[None, :] // k == jnp.arange(K, dtype=jnp.int32)[:, None]).astype(
+        jnp.bfloat16
+    )
+    B = ((s % k)[:, None] <= jnp.arange(k, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    F = jax.lax.dot(A, B, preferred_element_type=jnp.float32)
+    C = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(F[:, -1])[:-1]]
+    )
+    idx = (C[:, None] + F).reshape(K * k)[:P]
     return jnp.clip(idx, 0, P - 1).astype(jnp.int32)
 
 

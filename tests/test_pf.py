@@ -90,22 +90,23 @@ def test_systematic_resample_is_unbiased():
         assert np.floor(4 * w) <= n[i] <= np.ceil(4 * w)
 
 
-def test_systematic_resample_scatter_path_matches_searchsorted():
-    """Above _COMPARE_ALL_MAX_P the histogram-scatter lowering kicks in;
-    it must return the exact searchsorted indices (same u, same cdf)."""
-    P = pf._COMPARE_ALL_MAX_P + 100
+def test_systematic_resample_mxu_rank_matches_searchsorted():
+    """The MXU 0/1-matmul rank lowering must return the exact searchsorted
+    indices (same u, same cdf) — including at P not a multiple of the
+    tile width and P smaller than one tile."""
     key = jax.random.PRNGKey(3)
-    for seed in range(3):
-        k = jax.random.fold_in(key, seed)
-        kw, ku = jax.random.split(k)
-        log_w = 3.0 * jax.random.normal(kw, (P,), dtype=jnp.float64)
-        got = np.asarray(pf.systematic_resample_indices(ku, log_w))
-        # ground truth: same draw, plain searchsorted
-        w = np.asarray(jax.nn.softmax(log_w))
-        cum = np.cumsum(w)
-        u = float(jax.random.uniform(ku, (), dtype=log_w.dtype))
-        want = np.searchsorted(cum, (u + np.arange(P)) / P).clip(0, P - 1)
-        np.testing.assert_array_equal(got, want)
+    for P in (37, pf._RANK_TILE_K, 1000, 2 * pf._RANK_TILE_K + 13, 12388):
+        for seed in range(3):
+            k = jax.random.fold_in(key, 1000 * P + seed)
+            kw, ku = jax.random.split(k)
+            log_w = 3.0 * jax.random.normal(kw, (P,), dtype=jnp.float64)
+            got = np.asarray(pf.systematic_resample_indices(ku, log_w))
+            # ground truth: same draw, plain searchsorted
+            w = np.asarray(jax.nn.softmax(log_w))
+            cum = np.cumsum(w)
+            u = float(jax.random.uniform(ku, (), dtype=log_w.dtype))
+            want = np.searchsorted(cum, (u + np.arange(P)) / P).clip(0, P - 1)
+            np.testing.assert_array_equal(got, want)
 
 
 def test_multinomial_resample_distribution():
