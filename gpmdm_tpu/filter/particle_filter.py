@@ -58,9 +58,11 @@ _LOG_2PI = math.log(2.0 * math.pi)
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _use_pallas(post, pf_cfg) -> bool:
+def _use_pallas(post, pf_cfg, stage: str = "dyn") -> bool:
     """Fused-kernel policy: 'on' forces it (exact posterior only); 'auto'
-    currently selects the XLA pipeline EVERYWHERE.
+    currently selects the XLA pipeline EVERYWHERE.  ``stage`` ('dyn' or
+    'obs') names the pipeline stage being gated — the policy is identical
+    for both (tests monkeypatch this to isolate one fused stage).
 
     Round-1's measured "fused wins at N >= 1k" was an artifact: Mosaic
     silently lowered the kernels' f32 dot_generals to single-pass bf16
@@ -76,15 +78,6 @@ def _use_pallas(post, pf_cfg) -> bool:
     frame-accuracy penalty vs XLA (0.72 vs 0.92 on the bench asset): at
     variances this sharp the two paths' f32 error patterns pick different
     winning particles, and the XLA pipeline is the arbitrated default."""
-    if pf_cfg.pallas == "on":
-        return isinstance(post, core.Posterior)
-    return False
-
-
-def _use_pallas_obs(post, pf_cfg) -> bool:
-    """Gate for the fully-fused observation-weighting kernel
-    (fused_obs_loglik) — same policy and same measured outcome as the
-    dynamics gate (see _use_pallas)."""
     if pf_cfg.pallas == "on":
         return isinstance(post, core.Posterior)
     return False
@@ -293,7 +286,7 @@ def pf_step(
         xin = state.x
     else:
         xin = jnp.concatenate([state.x, state.x_prev], axis=1)
-    use_pallas = _use_pallas(post, pf_cfg)
+    use_pallas = _use_pallas(post, pf_cfg, "dyn")
     if use_pallas and isinstance(post, core.Posterior):
         from ..ops import kernels as _K
         from ..ops.pallas.gp_posterior import fused_x_posterior
@@ -348,7 +341,7 @@ def pf_step(
     #    (fused_obs_loglik): the (P, D) mean never reaches HBM, only two
     #    (P,) vectors do, and the diagonal-Gaussian log-pdf reduces to
     #    elementwise math on those.
-    if _use_pallas_obs(post, pf_cfg):
+    if _use_pallas(post, pf_cfg, "obs"):
         from ..ops.pallas.gp_posterior import fused_obs_loglik
         from ..ops import kernels as _K
 

@@ -182,10 +182,14 @@ _VALIDATED_TILES = {
 
 
 def _default_tile_p(
-    Npad: int, dpad: int = 128, Dpad: int = 128, tile_n: int = 128,
-    mxu_precision=None, kernel: str = "x",
+    Npad: int, mxu_precision=None, kernel: str = "x",
 ) -> int:
     """Pick the largest particle tile VALIDATED on-device for this shape.
+
+    The table is keyed on Npad + precision + kernel flavour ONLY: the
+    sweeps ran at dpad=Dpad=128 / tile_n=128 (the dimensions every
+    current caller produces), so the defaults are NOT validated for other
+    footprints — callers with wider D must pass explicit tile_p.
 
     See _VALIDATED_TILES.  Raises for shapes with no validated entry —
     direct kernel callers may still pass explicit ``tile_p``/``tile_n``
@@ -232,10 +236,7 @@ def _fused_posterior(
     if tile_p == 0:  # adaptive default
         # always the "x" table: this wrapper keeps lt/ls resident even for
         # the pure-RBF entry point, so its footprint is the dynamics one
-        tile_p = _default_tile_p(
-            Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
-            mxu_precision=mxu_precision, kernel="x",
-        )
+        tile_p = _default_tile_p(Npad, mxu_precision=mxu_precision, kernel="x")
     Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad(xt.astype(f32), ((0, Npad - N), (0, dpad - d)))
@@ -374,10 +375,7 @@ def fused_obs_loglik(
     dpad = _round_up(max(d, 1), 128)
     mxu_precision = _canon_precision(mxu_precision)
     if tile_p == 0:
-        tile_p = _default_tile_p(
-            Npad, dpad=dpad, Dpad=Dpad, tile_n=tile_n,
-            mxu_precision=mxu_precision, kernel="obs",
-        )
+        tile_p = _default_tile_p(Npad, mxu_precision=mxu_precision, kernel="obs")
     Ppad = _round_up(max(P, 1), tile_p)
 
     xt = jnp.pad((Xtrain * inv_lengthscales).astype(f32),

@@ -67,12 +67,17 @@ def chol_rowblock(A_i: jax.Array, axis_name: str) -> jax.Array:
         colk_local = jax.lax.dynamic_slice_in_dim(A_i, k * nb, nb, axis=1)
         col = jax.lax.all_gather(colk_local, axis_name, tiled=True)  # (N, nb)
         A_kk = jax.lax.dynamic_slice_in_dim(col, k * nb, nb, axis=0)
-        L_kk = jnp.linalg.cholesky(A_kk)  # redundant, (nb, nb)
-        # full panel P = col @ L_kk^-T  (rows < k*nb are finalized garbage,
-        # masked out below)
-        P = jax.lax.linalg.triangular_solve(
-            L_kk, col, left_side=False, lower=True, transpose_a=True
-        )  # (N, nb)
+        # CRITICAL: the blocked Cholesky / triangular-solve primitives
+        # lower to dot_generals that inherit the default MXU precision —
+        # 1-pass bf16 on TPU, which garbles factorizations of trained
+        # (ill-conditioned) Grams (see ops/linalg.py precision note).
+        with jax.default_matmul_precision("highest"):
+            L_kk = jnp.linalg.cholesky(A_kk)  # redundant, (nb, nb)
+            # full panel P = col @ L_kk^-T  (rows < k*nb are finalized
+            # garbage, masked out below)
+            P = jax.lax.linalg.triangular_solve(
+                L_kk, col, left_side=False, lower=True, transpose_a=True
+            )  # (N, nb)
         P_own = jax.lax.dynamic_slice_in_dim(P, idx * nb, nb, axis=0)
 
         # write this device's column-k block of L:
@@ -111,9 +116,10 @@ def tri_solve_lower_rowblock(
     X_i = jnp.zeros_like(B_i)
     for k in range(B):
         L_kk = jax.lax.dynamic_slice_in_dim(L_i, k * nb, nb, axis=1)
-        cand = jax.lax.linalg.triangular_solve(
-            L_kk, acc, left_side=True, lower=True
-        )  # valid only on device k (elsewhere L_kk is an off-diag block)
+        with jax.default_matmul_precision("highest"):  # see chol_rowblock
+            cand = jax.lax.linalg.triangular_solve(
+                L_kk, acc, left_side=True, lower=True
+            )  # valid only on device k (elsewhere L_kk is an off-diag block)
         Xk = jax.lax.psum(
             jnp.where(idx == k, cand, jnp.zeros_like(cand)), axis_name
         )
@@ -166,10 +172,10 @@ def _y_nll_dist_fwd_impl(K_i, Y_i, w2, axis_name):
 
 
 def _y_nll_dist_fwd(K_i, Y_i, w2, axis_name):
-    value_local, (L_i, quad_local), V_i = _y_nll_dist_fwd_impl(
+    value_local, (L_i, quad_local), _ = _y_nll_dist_fwd_impl(
         K_i, Y_i, w2, axis_name
     )
-    return value_local, (L_i, V_i, Y_i, w2, quad_local)
+    return value_local, (L_i, Y_i, w2, quad_local)
 
 
 def _y_nll_dist_bwd(axis_name, res, g):
@@ -179,7 +185,7 @@ def _y_nll_dist_bwd(axis_name, res, g):
     # per-device outputs are exactly the per-device cotangent shares:
     # sharded inputs (K_i, Y_i) get their own row panels; the replicated
     # input (w2) gets this device's share, psum'd by shard_map's transpose.
-    L_i, V_i, Y_i, w2, quad_local = res
+    L_i, Y_i, w2, quad_local = res
     D = Y_i.shape[1]
     nb, N = L_i.shape
     idx = jax.lax.axis_index(axis_name)

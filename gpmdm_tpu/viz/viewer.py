@@ -105,7 +105,14 @@ class Viewer:
         size = (1024, 768)
         pygame.display.set_mode(size, DOUBLEBUF | OPENGL)
         pygame.display.set_caption("gpmdm_tpu viewer")
+        # Set the projection on the PROJECTION stack: _draw_frame's
+        # per-frame glLoadIdentity() resets the modelview stack, so a
+        # perspective left on the (default) modelview matrix would be
+        # erased before the first frame and everything would clip out.
+        GL.glMatrixMode(GL.GL_PROJECTION)
+        GL.glLoadIdentity()
         GLU.gluPerspective(45, size[0] / size[1], 0.1, 100.0)
+        GL.glMatrixMode(GL.GL_MODELVIEW)
         GL.glEnable(GL.GL_DEPTH_TEST)
         GL.glPointSize(6.0)
 

@@ -230,7 +230,12 @@ def test_pf_step_fused_obs_loglik_matches_xla(monkeypatch):
     s_ref, o_ref = pfmod.pf_step(
         state, z, m.posterior, m.params, log_T, m.config, pfc
     )
-    monkeypatch.setattr(pfmod, "_use_pallas_obs", lambda post, cfg: True)
+    # force ONLY the fused observation stage (dynamics stays XLA so the
+    # propagated states — and thus the comparison — are identical)
+    monkeypatch.setattr(
+        pfmod, "_use_pallas",
+        lambda post, cfg, stage="dyn": stage == "obs",
+    )
     s_fused, o_fused = pfmod.pf_step(
         state, z, m.posterior, m.params, log_T, m.config, pfc
     )
