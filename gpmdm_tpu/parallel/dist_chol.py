@@ -67,10 +67,12 @@ def chol_rowblock(A_i: jax.Array, axis_name: str) -> jax.Array:
         colk_local = jax.lax.dynamic_slice_in_dim(A_i, k * nb, nb, axis=1)
         col = jax.lax.all_gather(colk_local, axis_name, tiled=True)  # (N, nb)
         A_kk = jax.lax.dynamic_slice_in_dim(col, k * nb, nb, axis=0)
-        # CRITICAL: the blocked Cholesky / triangular-solve primitives
-        # lower to dot_generals that inherit the default MXU precision —
-        # 1-pass bf16 on TPU, which garbles factorizations of trained
-        # (ill-conditioned) Grams (see ops/linalg.py precision note).
+        # Pin the factorization's internal dots to full precision rather
+        # than relying on the lowering default (on the current jax the
+        # TPU expansion already emits highest-precision dots — verified
+        # via compiled-HLO inspection — but a default-precision dot in a
+        # factorization of a trained ill-conditioned Gram is the exact
+        # failure mode ops/linalg.py documents, so pin it explicitly).
         with jax.default_matmul_precision("highest"):
             L_kk = jnp.linalg.cholesky(A_kk)  # redundant, (nb, nb)
             # full panel P = col @ L_kk^-T  (rows < k*nb are finalized
