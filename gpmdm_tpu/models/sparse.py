@@ -380,15 +380,12 @@ def predict_y(
     return mean, var
 
 
-def predict_x_all_classes(
+def _predict_x_per_class(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
-    cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
-    quad_precision=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Sparse per-class dynamics posterior for every class at once; same
-    contract as core.predict_x_all_classes: (C, N*, d) mean and var.
-    ``quad_precision`` accepted for interface parity, ignored (see
-    predict_y)."""
+    cfg: GPMDMConfig, with_noise: bool, precision,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-class SGPR dynamics posteriors: means (C, N*, d), common
+    variances (C, N*) pre-lambda, and the star prior diagonal (N*,)."""
     kss = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )
@@ -401,8 +398,49 @@ def predict_x_all_classes(
         return _sgpr_predict(Lm, LB, beta, Kstar, kss)
 
     means, var_common = jax.vmap(per_class)(post.Zx, post.Lx, post.LBx, post.beta_x)
+    return means, var_common, kss
+
+
+def predict_x_all_classes(
+    post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
+    cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
+    quad_precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse per-class dynamics posterior for every class at once; same
+    contract as core.predict_x_all_classes: (C, N*, d) mean and var.
+    ``quad_precision`` accepted for interface parity, ignored (see
+    predict_y)."""
+    means, var_common, _ = _predict_x_per_class(
+        post, params, Xstar, cfg, with_noise, precision
+    )
     var = var_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
     return means, var
+
+
+def predict_x(
+    post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
+    cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
+    quad_precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """All-class sparse dynamics posterior (analogue of core.predict_x /
+    reference map_x_dynamics, gpmdm.py:993-1030).
+
+    In the exact model the masked Gram is block-diagonal, which makes the
+    all-class map ADDITIVE over classes: the unmasked star kernel splits
+    by class rows, so mean = sum_c mean_c and the predictive-variance
+    reduction = sum_c (kss - var_common_c)  (verified against
+    core.predict_x in tests/test_sparse.py).  The sparse family applies
+    the same additivity to the per-class SGPR posteriors — each class's
+    inducing set stands in for its training block."""
+    means, var_common, kss = _predict_x_per_class(
+        post, params, Xstar, cfg, with_noise, precision
+    )
+    mean = jnp.sum(means, axis=0)
+    var_common_all = jnp.maximum(
+        kss - jnp.sum(kss[None, :] - var_common, axis=0), 1e-9
+    )
+    var = var_common_all[:, None] * jnp.exp(params.x_log_lambdas)[None, :] ** -2
+    return mean, var
 
 
 def predict_x_for_class(

@@ -21,6 +21,9 @@ _jit_sparse_predict_y = jax.jit(sparse.predict_y, static_argnames=("cfg", "with_
 _jit_sparse_predict_x_for_class = jax.jit(
     sparse.predict_x_for_class, static_argnames=("class_index", "cfg", "with_noise")
 )
+_jit_sparse_predict_x = jax.jit(
+    sparse.predict_x, static_argnames=("cfg", "with_noise")
+)
 
 
 class SparseGPMDM(GPMDM):
@@ -133,10 +136,15 @@ class SparseGPMDM(GPMDM):
         )
 
     def map_x_dynamics(self, Xstar, flg_noise: bool = False):
-        raise NotImplementedError(
-            "the sparse model has per-class dynamics only; use "
-            "map_x_dynamics_for_class (the all-class masked-Gram map is an "
-            "exact-model construct)"
+        """All-class dynamics posterior (reference map_x_dynamics,
+        gpmdm.py:993-1030), as the class-additive sparse analogue — the
+        exact model's block-diagonal masked Gram makes the all-class map
+        a sum of per-class posteriors; here each class's inducing set
+        stands in for its training block (see sparse.predict_x)."""
+        self._require_posterior()
+        Xstar = jnp.atleast_2d(jnp.asarray(Xstar, dtype=self.dtype))
+        return _jit_sparse_predict_x(
+            self.posterior, self.params, Xstar, cfg=self.config, with_noise=flg_noise
         )
 
     def map_x_dynamics_for_class(self, Xstar, class_index: int, flg_noise: bool = False):

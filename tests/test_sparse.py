@@ -89,6 +89,72 @@ def test_sparse_prediction_close_to_exact():
     assert err / base < 0.05, (err, base)
 
 
+def test_exact_all_class_map_is_class_additive():
+    """The identity behind sparse.predict_x: in the exact model the
+    block-diagonal masked Gram makes the all-class dynamics map additive
+    over per-class posteriors (mean = sum_c mean_c; variance reduction =
+    sum_c per-class reduction)."""
+    m, _, _ = build(GPMDM)
+    Xq = jnp.asarray(m.params.X[:7], dtype=jnp.float64)
+    mean_all, var_all = core.predict_x(m.posterior, m.params, Xq, m.config)
+    means_c, vars_c = core.predict_x_all_classes(m.posterior, m.params, Xq, m.config)
+    # jitter-level agreement only: the per-class inverses carry the
+    # reference's +1e-6 I regularizer (gpmdm.py:1302) that the full
+    # masked-Gram inverse does not
+    np.testing.assert_allclose(
+        np.asarray(mean_all), np.asarray(means_c).sum(axis=0), rtol=1e-4, atol=1e-8
+    )
+    # reconstruct var: kss*lam^-2 - sum_c (kss*lam^-2 - var_c)
+    from gpmdm_tpu.ops import kernels as K
+
+    kss = np.asarray(
+        K.x_diag_kernel(
+            Xq, m.params.x_log_lin_coeff, m.params.x_log_sigma_n,
+            m.config.sigma_n_num_X, False,
+        )
+    )
+    lam2inv = np.exp(np.asarray(m.params.x_log_lambdas)) ** -2
+    # work in common-variance units (pre per-dim scaling), and apply the
+    # same 1e-9 floor core.predict_x applies: the all-class construct's
+    # variance goes NEGATIVE where both classes reduce the same region
+    # (the unmasked star kernel double-counts reduction — a property of
+    # the reference's map_x_dynamics, not a bug here)
+    common_c = np.asarray(vars_c)[:, :, 0] / lam2inv[0]
+    want_common = np.maximum(kss - (kss[None, :] - common_c).sum(axis=0), 1e-9)
+    want = want_common[:, None] * lam2inv[None, :]
+    np.testing.assert_allclose(np.asarray(var_all), want, rtol=1e-4, atol=1e-8)
+
+
+def test_sparse_map_x_dynamics_matches_exact_at_full_inducing():
+    """SparseGPMDM.map_x_dynamics (class-additive SGPR) approaches the
+    exact all-class map when every class's inducing set is its full
+    training block."""
+    m, _, _ = build(GPMDM)
+    Xin, _ = xin_xout(m.params.X, m.layout, m.config.dyn_target)
+    C, n_max = m.layout.n_classes, m.layout.n_max
+    Zx = np.zeros((C, n_max, Xin.shape[1]))
+    for c in range(C):
+        lo, hi = int(m.layout.x_class_offsets[c]), int(m.layout.x_class_offsets[c + 1])
+        Zx[c, : hi - lo] = np.asarray(Xin[lo:hi])
+        Zx[c, hi - lo:] = 1e3 + np.arange(n_max - (hi - lo))[:, None]
+    sp = to_sparse_params(m.params, np.asarray(m.params.X), Zx)
+    post = sparse.precompute(sp, jnp.asarray(m.get_Y()), m.config, m.layout)
+    Xq = jnp.asarray(m.params.X[:9], dtype=jnp.float64)
+    mean_s, var_s = sparse.predict_x(post, sp, Xq, m.config)
+    mean_e, var_e = core.predict_x(m.posterior, m.params, Xq, m.config)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_e), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_e), rtol=2e-2, atol=1e-6)
+
+
+def test_sparse_gpmdm_map_x_dynamics_api():
+    """The user-facing method returns finite, correctly shaped output."""
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=30, n_inducing_x=20)
+    mean, var = ms.map_x_dynamics(ms.params.X[:5])
+    assert mean.shape == (5, ms.config.d) and var.shape == (5, ms.config.d)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(var) > 0).all()
+
+
 def test_sparse_pf_end_to_end():
     ms, test_seqs, test_labels = build(SparseGPMDM, n_inducing_y=30, n_inducing_x=20)
     ms.train_adam(num_opt_steps=60, lr=0.02)
