@@ -60,8 +60,9 @@ def main() -> None:
     )
     # Load the committed pre-trained checkpoint: PF numerics on an
     # UNTRAINED model are degenerate (mostly dead particles, inf-laden
-    # weights) and measured 25x slower on TPU — the bench must use
-    # realistic posterior values.  Training here would cost ~7-25 min of
+    # weights), which makes the accuracy guard meaningless (the compute
+    # itself times value-independently — tools/exp_value_dependent.py).
+    # Training here would cost ~7-25 min of
     # tunnel compile per run (the remote session id defeats the persistent
     # compile cache), so the checkpoint is trained offline
     # (bench_assets/README) and committed.
