@@ -125,16 +125,22 @@ def main() -> None:
         n_classes=N_CLASSES, n_train_seqs=TRAIN_SEQS_PER_CLASS,
         n_test_seqs=6, seq_len=SEQ_LEN, D=D, seed=0,
     )
+    from gpmdm_tpu.utils.metrics import binary_prf, confusion_matrix
+
     flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
                    config=pfc, seed=0)
-    correct = total = 0
+    preds, trues = [], []
     with timer.stage("quality_guard"):
         for Zq, label in zip(q_seqs, q_labels):
             flt.reset()
             pred = np.asarray(flt.run(np.asarray(Zq)).most_likely_class)
-            correct += (pred[5:] == label).sum()
-            total += len(pred) - 5
-    frame_acc = correct / total
+            preds.append(pred[5:])
+            trues.append(np.full(len(pred) - 5, label))
+    preds, trues = np.concatenate(preds), np.concatenate(trues)
+    frame_acc = float((preds == trues).mean())
+    # F1 with class 0 positive — the reference's headline quality metric
+    # (test_gpmdm_pf.ipynb cell 5; BASELINE.md: >=0.90 per-frame F1)
+    frame_f1 = binary_prf(confusion_matrix(preds, trues, N_CLASSES))["f1"]
 
     # secondary metric: the published problem shape (d=4, the reference's
     # train_gpmdm.ipynb cell 2 config) on a second committed asset.
@@ -208,6 +214,7 @@ def main() -> None:
                 "n_train_frames": int(m.layout.Ny),
                 "per_frame_ms": round(1000.0 * wall / N_FRAMES, 4),
                 "frame_acc": round(float(frame_acc), 4),
+                "frame_f1": round(float(frame_f1), 4),
                 # accuracy is on the synthetic walk/run stand-in at the
                 # published problem shape: the CMU mocap download is
                 # unreachable from this environment (zero egress; see

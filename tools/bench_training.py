@@ -151,10 +151,9 @@ def mode_sharded(args) -> None:
     from gpmdm_tpu.parallel import make_mesh, train_adam_sharded
     from gpmdm_tpu.train.trainer import train_adam
 
-    # BASELINE scale config: 8 classes, mid-scale Ny (full 5k exceeds what
-    # the CPU host can chew through in a bounded test window; the exact
-    # model is O(Ny^3) per step)
-    C, seqs, seq_len, D, d = 8, 2, 160, 12, 3
+    # BASELINE scale config: 8 classes; --sharded-seq-len 320 gives the
+    # full N~5k shape (Ny=5120), the default 160 a faster mid-scale run
+    C, seqs, seq_len, D, d = 8, 2, args.sharded_seq_len, 12, 3
     m = _build(C, seqs, seq_len, D, d)
     Y = m.get_Y()
     Ny = int(m.layout.Ny)
@@ -200,6 +199,10 @@ def main() -> None:
                     default=[256, 512, 1024])  # Ny = 2*2*seq_len
     ap.add_argument("--seqs", type=int, default=2)
     ap.add_argument("--inducing", type=int, nargs="+", default=[64, 128, 256])
+    ap.add_argument("--sharded-seq-len", type=int, default=160,
+                    help="per-sequence length for --mode sharded "
+                         "(Ny = 8 classes x 2 seqs x this; 320 -> Ny=5120, "
+                         "the BASELINE N~5k shape)")
     args = ap.parse_args()
     if args.mode == "scaling":
         mode_scaling(args)
