@@ -127,6 +127,47 @@ class PFOutputs:
     most_likely_class: jax.Array  # () int32 argmax of class_probs
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PFNoise:
+    """One frame's pre-generated randomness (see ``_pregen_noise``).
+
+    Bit-identical to what ``pf_step`` would draw itself from
+    ``state.key``: the key chain is pre-split outside the scan and the
+    per-frame draws are vmapped over the chain's keys.  Per-frame RNG
+    inside the scan measured ~0.05 ms/frame at P=10k (per-call threefry
+    overhead, ~1.6 ns/value vs the bulk rate); hoisting the generation
+    out of the scan amortizes it to near zero.
+    """
+
+    next_key: jax.Array  # the post-split carry key (becomes state.key)
+    u_trans: jax.Array  # (P,) transition uniforms
+    eps_dyn: jax.Array  # (P, d) dynamics-propagation normals
+    k_res: jax.Array  # PRNG key for resampling
+
+
+def _pregen_noise(key, T: int, P: int, d: int, dtype) -> PFNoise:
+    """Pre-generate T frames of PF randomness from ``key``'s split chain.
+
+    Produces exactly the values T sequential ``pf_step`` calls would draw
+    (tests/test_pf.py pins scan == sequential steps)."""
+
+    def chain(k, _):
+        k2, kt, kd, kr = jax.random.split(k, 4)
+        return k2, (k2, kt, kd, kr)
+
+    _, (next_keys, kts, kds, krs) = jax.lax.scan(chain, key, None, length=T)
+    U = jax.vmap(lambda k: jax.random.uniform(k, (P,), dtype=dtype))(kts)
+    E = jax.vmap(lambda k: jax.random.normal(k, (P, d), dtype=dtype))(kds)
+    return PFNoise(next_key=next_keys, u_trans=U, eps_dyn=E, k_res=krs)
+
+
+# Above this many bytes of pre-generated noise, pf_scan falls back to
+# in-scan RNG (T * P * (d + 1) * 4; ~1.5 GB keeps even 100k-particle
+# 1000-frame scans comfortably inside HBM).
+_PREGEN_NOISE_MAX_BYTES = 1_500_000_000
+
+
 def _init_classes(num_particles: int, n_classes: int) -> np.ndarray:
     """Split particles evenly across classes; first ``P mod C`` classes get
     one extra (reference _divide_into_n_parts, gpmdm_pf.py:287-292)."""
@@ -256,14 +297,20 @@ def pf_step(
     log_T: jax.Array,
     cfg: GPMDMConfig,
     pf_cfg: PFConfig,
+    noise: PFNoise | None = None,
 ) -> tuple[PFState, PFOutputs]:
     """One full PF update (reference _update, gpmdm_pf.py:126-135).
 
     Pure function: (state, observation) -> (new state, readouts).
+    ``noise`` (optional) supplies this frame's randomness pre-generated by
+    ``_pregen_noise`` — bit-identical values, hoisted out of the scan.
     """
     P = state.x.shape[0]
     predict_y, predict_x_all_classes = _predictors(post)
-    key, k_trans, k_dyn, k_res = jax.random.split(state.key, 4)
+    if noise is None:
+        key, k_trans, k_dyn, k_res = jax.random.split(state.key, 4)
+    else:
+        key, k_trans, k_dyn, k_res = noise.next_key, None, None, noise.k_res
 
     # 1. Markov class transition: sample next class from T[c] per particle
     #    (reference gpmdm_pf.py:137-151).  Inverse-CDF sampling — one
@@ -275,7 +322,10 @@ def pf_step(
     cum_T = jnp.cumsum(jnp.exp(log_T), axis=1)  # (C, C), rows end at 1
     onehot_c = jax.nn.one_hot(state.c, C, dtype=cum_T.dtype)  # (P, C)
     row_cum = jnp.matmul(onehot_c, cum_T, precision=_PREC)  # (P, C)
-    u_trans = jax.random.uniform(k_trans, (P,), dtype=cum_T.dtype)
+    if noise is None:
+        u_trans = jax.random.uniform(k_trans, (P,), dtype=cum_T.dtype)
+    else:
+        u_trans = noise.u_trans.astype(cum_T.dtype)
     c = jnp.sum(u_trans[:, None] >= row_cum, axis=1).astype(jnp.int32)
     c = jnp.minimum(c, C - 1)
 
@@ -329,7 +379,10 @@ def pf_step(
         )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
-    eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)
+    if noise is None:
+        eps = jax.random.normal(k_dyn, mean.shape, dtype=mean.dtype)
+    else:
+        eps = noise.eps_dyn.astype(mean.dtype)
     prop = mean + jnp.sqrt(var) * eps
     # 'full' uses the sampled prediction as the next state (what the
     # reference hard-codes); 'delta' adds it to the current state.
@@ -468,7 +521,21 @@ def pf_scan(
 ) -> tuple[PFState, PFOutputs]:
     """Stream a whole (T, D) observation sequence through the filter as one
     ``lax.scan`` — the compiled replacement for the reference's per-frame
-    Python loop (test_gpmdm_pf.ipynb cell 4)."""
+    Python loop (test_gpmdm_pf.ipynb cell 4).
+
+    All per-frame randomness is pre-generated outside the scan
+    (``_pregen_noise``: bit-identical values, ~0.05 ms/frame of in-scan
+    threefry overhead hoisted out) unless the noise tensors would exceed
+    ``_PREGEN_NOISE_MAX_BYTES``."""
+    T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
+    if T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES:
+        noise = _pregen_noise(state.key, T, P, d, state.x.dtype)
+
+        def step(s, inp):
+            z, nz = inp
+            return pf_step(s, z, post, params, log_T, cfg, pf_cfg, noise=nz)
+
+        return jax.lax.scan(step, state, (Z, noise))
 
     def step(s, z):
         return pf_step(s, z, post, params, log_T, cfg, pf_cfg)
@@ -490,15 +557,34 @@ def pf_scan_masked(
     ``valid[t] == False`` are no-ops (state passes through unchanged, their
     outputs are garbage to be sliced off).  Lets callers bucket variable
     trial lengths into a handful of compiled shapes instead of recompiling
-    the scan per length."""
+    the scan per length.
+
+    Pre-generated noise is indexed by frame POSITION.  For the
+    prefix-valid masks ``run()`` produces (all valid frames first,
+    padding after) this is bit-identical to the sequential unmasked key
+    chain — valid frame t is the t-th split, and masked frames revert
+    the state (including the key) so the final key equals the chain
+    after the last valid frame, exactly as before.  Interleaved masks
+    would consume noise on masked positions (same distribution,
+    different stream than the in-scan-RNG path); no caller does that."""
+    T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
+    use_pregen = T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES
+    noise = (
+        _pregen_noise(state.key, T, P, d, state.x.dtype) if use_pregen else None
+    )
 
     def step(s, inp):
-        z, v = inp
-        s2, out = pf_step(s, z, post, params, log_T, cfg, pf_cfg)
+        if use_pregen:
+            z, v, nz = inp
+            s2, out = pf_step(s, z, post, params, log_T, cfg, pf_cfg, noise=nz)
+        else:
+            z, v = inp
+            s2, out = pf_step(s, z, post, params, log_T, cfg, pf_cfg)
         s_new = jax.tree.map(lambda a, b: jnp.where(v, a, b), s2, s)
         return s_new, out
 
-    return jax.lax.scan(step, state, (Z, valid))
+    xs = (Z, valid, noise) if use_pregen else (Z, valid)
+    return jax.lax.scan(step, state, xs)
 
 
 def bucket_length(T: int, min_bucket: int = 64) -> int:

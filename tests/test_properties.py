@@ -39,8 +39,9 @@ def test_rbf_gram_is_symmetric_psd_with_unit_diag(seed, n, d, log_ls):
     # numerically rank-deficient)
     w = np.linalg.eigvalsh(G)
     assert w.min() > -1e-9, w.min()
-    # all entries in (0, 1]
-    assert (G > 0).all() and (G <= 1 + 1e-12).all()
+    # entries in [0, 1]: mathematically (0, 1], but exp(-huge) underflows
+    # to exactly 0.0 for distant points at short lengthscales
+    assert (G >= 0).all() and (G <= 1 + 1e-12).all()
 
 
 @settings(**SETTINGS)
