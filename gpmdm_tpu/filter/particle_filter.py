@@ -166,6 +166,12 @@ def _pregen_noise(key, T: int, P: int, d: int, dtype) -> PFNoise:
 # in-scan RNG (T * P * (d + 1) * 4; ~1.5 GB keeps even 100k-particle
 # 1000-frame scans comfortably inside HBM).
 _PREGEN_NOISE_MAX_BYTES = 1_500_000_000
+# Below this particle count, in-scan RNG wins: a small-P step is
+# overhead-bound and the extra per-frame noise slices from HBM cost more
+# than the hoisted threefry saves (measured on v5e: 64x1k vmapped banks
+# 20.3k agg fps in-scan vs 18.7k pregen; P=10k single filter 2892
+# in-scan vs 2986 pregen).  Values are bit-identical either way.
+_PREGEN_MIN_P = 4096
 
 
 def _init_classes(num_particles: int, n_classes: int) -> np.ndarray:
@@ -528,7 +534,7 @@ def pf_scan(
     threefry overhead hoisted out) unless the noise tensors would exceed
     ``_PREGEN_NOISE_MAX_BYTES``."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
-    if T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES:
+    if P >= _PREGEN_MIN_P and T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES:
         noise = _pregen_noise(state.key, T, P, d, state.x.dtype)
 
         def step(s, inp):
@@ -568,7 +574,9 @@ def pf_scan_masked(
     would consume noise on masked positions (same distribution,
     different stream than the in-scan-RNG path); no caller does that."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
-    use_pregen = T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES
+    use_pregen = (
+        P >= _PREGEN_MIN_P and T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES
+    )
     noise = (
         _pregen_noise(state.key, T, P, d, state.x.dtype) if use_pregen else None
     )
