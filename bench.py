@@ -127,22 +127,20 @@ def main() -> None:
         n_classes=N_CLASSES, n_train_seqs=TRAIN_SEQS_PER_CLASS,
         n_test_seqs=6, seq_len=SEQ_LEN, D=D, seed=0,
     )
-    from gpmdm_tpu.utils.metrics import binary_prf, confusion_matrix
+    from gpmdm_tpu.utils.metrics import evaluate_pf_banked
 
-    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
-                   config=pfc, seed=0)
-    preds, trues = [], []
+    # banked evaluation: all guard trials stream in ONE compiled dispatch
+    # (one filter bank row per trial) — the same metrics the reference's
+    # per-trial loop produces, minus B-1 dispatches of tunnel RTT
     with timer.stage("quality_guard"):
-        for Zq, label in zip(q_seqs, q_labels):
-            flt.reset()
-            pred = np.asarray(flt.run(np.asarray(Zq)).most_likely_class)
-            preds.append(pred[5:])
-            trues.append(np.full(len(pred) - 5, label))
-    preds, trues = np.concatenate(preds), np.concatenate(trues)
-    frame_acc = float((preds == trues).mean())
+        rep = evaluate_pf_banked(
+            m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in q_seqs],
+            q_labels, burn_in=5, seed=0, config=pfc,
+        )
+    frame_acc = rep.frame_metrics["accuracy"]
     # F1 with class 0 positive — the reference's headline quality metric
     # (test_gpmdm_pf.ipynb cell 5; BASELINE.md: >=0.90 per-frame F1)
-    frame_f1 = binary_prf(confusion_matrix(preds, trues, N_CLASSES))["f1"]
+    frame_f1 = rep.frame_metrics["f1"]
 
     # secondary metric: the published problem shape (d=4, the reference's
     # train_gpmdm.ipynb cell 2 config) on a second committed asset.
@@ -169,19 +167,12 @@ def main() -> None:
             w4 = min(w4, time.perf_counter() - t0)
         d4_fps = N_FRAMES / w4
 
-        from gpmdm_tpu import GPMDM_PF as _PF4
-
-        flt4 = _PF4(m4, [[0.9, 0.1], [0.1, 0.9]], num_particles=N_PARTICLES,
-                    config=pfc, seed=0)
-        preds4, trues4 = [], []
-        for Zq, label in zip(q_seqs, q_labels):
-            flt4.reset()
-            pred = np.asarray(flt4.run(np.asarray(Zq)).most_likely_class)
-            preds4.append(pred[5:])
-            trues4.append(np.full(len(pred) - 5, label))
-        preds4, trues4 = np.concatenate(preds4), np.concatenate(trues4)
-        d4_acc = float((preds4 == trues4).mean())
-        d4_f1 = binary_prf(confusion_matrix(preds4, trues4, N_CLASSES))["f1"]
+        rep4 = evaluate_pf_banked(
+            m4, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in q_seqs],
+            q_labels, burn_in=5, seed=0, config=pfc,
+        )
+        d4_acc = rep4.frame_metrics["accuracy"]
+        d4_f1 = rep4.frame_metrics["f1"]
 
     # secondary metric: BASELINE's multi-filter config — 64 independent
     # banks x 1k particles streaming concurrently (dp-shardable across a

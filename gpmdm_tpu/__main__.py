@@ -103,26 +103,35 @@ def _cmd_train(args) -> int:
 
 def _cmd_eval(args) -> int:
     from . import GPMDM, GPMDM_PF, PFConfig
-    from .utils.metrics import evaluate_pf
+    from .utils.metrics import evaluate_pf, evaluate_pf_banked
 
     model = GPMDM.load(args.ckpt)
     _, test, _ = _load_dataset(args)
     T = [[0.9, 0.1], [0.1, 0.9]]
-    flt = GPMDM_PF(
-        model,
-        T,
-        num_particles=args.particles,
-        config=PFConfig(resampling=args.resampling),
-        seed=args.seed,
-    )
-    report = evaluate_pf(
-        flt,
-        [np.asarray(Z) for Z, _ in test],
-        [c for _, c in test],
-        n_classes=2,
-        burn_in=args.burn_in,
-        logger=_make_logger(args),
-    )
+    seqs = [np.asarray(Z) for Z, _ in test]
+    labels = [c for _, c in test]
+    if args.banked:
+        report = evaluate_pf_banked(
+            model, T, seqs, labels,
+            burn_in=args.burn_in, seed=args.seed,
+            config=PFConfig(
+                num_particles=args.particles, resampling=args.resampling
+            ),
+        )
+    else:
+        flt = GPMDM_PF(
+            model,
+            T,
+            num_particles=args.particles,
+            config=PFConfig(resampling=args.resampling),
+            seed=args.seed,
+        )
+        report = evaluate_pf(
+            flt, seqs, labels,
+            n_classes=2,
+            burn_in=args.burn_in,
+            logger=_make_logger(args),
+        )
     print(report.summary())
     return 0
 
@@ -225,6 +234,9 @@ def main(argv=None) -> int:
     pe.add_argument("--resampling", default="systematic", choices=["systematic", "multinomial"])
     pe.add_argument("--burn-in", type=int, default=0)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--banked", action="store_true",
+                    help="stream ALL trials in one compiled dispatch "
+                         "(one filter bank row per trial)")
     pe.set_defaults(fn=_cmd_eval)
 
     pr = sub.add_parser("rollout", help="autoregressive latent rollout")

@@ -6,6 +6,7 @@ from .particle_filter import (
     pf_init_bank,
     pf_scan,
     pf_scan_bank,
+    pf_scan_bank_masked,
     pf_scan_masked,
     pf_step,
 )

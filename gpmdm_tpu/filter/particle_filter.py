@@ -619,6 +619,27 @@ def pf_scan_bank(
     )(states, Z)
 
 
+def pf_scan_bank_masked(
+    states: PFState,
+    Z: jax.Array,
+    valid: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """B independent filters over B padded sequences in one dispatch:
+    ``Z`` is (B, T_pad, D), ``valid`` (B, T_pad) prefix masks.  The banked
+    analogue of ``pf_scan_masked`` — this is how a whole test SET streams
+    through the filter at once (evaluate_pf_banked), replacing the
+    reference's per-trial Python loop (test_gpmdm_pf.ipynb cell 4) with
+    one compiled call."""
+    return jax.vmap(
+        lambda s, z, v: pf_scan_masked(s, z, v, post, params, log_T, cfg, pf_cfg)
+    )(states, Z, valid)
+
+
 def pf_init_bank(
     post: core.Posterior,
     y_class_offsets: np.ndarray,

@@ -148,3 +148,88 @@ def evaluate_pf(
         total_frames=total_frames,
         total_wall_s=wall,
     )
+
+
+def evaluate_pf_banked(
+    model,
+    T_matrix,
+    test_seqs: Sequence[np.ndarray],
+    test_labels: Sequence[int],
+    num_particles: int = 100,
+    burn_in: int = 0,
+    seed: int = 0,
+    config=None,
+) -> EvalReport:
+    """Evaluate ALL trials in one compiled dispatch.
+
+    The banked counterpart of :func:`evaluate_pf`: every trial gets its
+    own independent filter (a bank row), sequences are zero-padded to one
+    length bucket with prefix validity masks, and the whole set streams
+    through ``pf_scan_bank_masked`` as a single device call — the
+    reference's trial loop (test_gpmdm_pf.ipynb cell 4) collapsed into
+    one batched scan.  Metrics match :func:`evaluate_pf` in distribution
+    (per-trial RNG streams differ: banked filters draw from per-bank
+    keys).  The bank axis is dp-shardable across a mesh
+    (parallel/pf_bank.py) for multi-chip evaluation.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PFConfig
+    from ..filter import particle_filter as pf
+
+    B = len(test_seqs)
+    n_classes = model.n_classes
+    pfc = config if config is not None else PFConfig(num_particles=num_particles)
+    log_T = jnp.log(jnp.asarray(T_matrix, dtype=model.dtype))
+
+    lengths = [len(Z) for Z in test_seqs]
+    T_pad = pf.bucket_length(max(lengths))
+    Zb = np.zeros((B, T_pad, model.D), dtype=np.float64)
+    valid = np.zeros((B, T_pad), dtype=bool)
+    for i, Z in enumerate(test_seqs):
+        Zb[i, : lengths[i]] = np.asarray(Z)
+        valid[i, : lengths[i]] = True
+    Zb = jnp.asarray(Zb, dtype=model.dtype)
+    valid_j = jnp.asarray(valid)
+
+    states = pf.pf_init_bank(
+        model.posterior, model.layout.y_class_offsets,
+        jax.random.PRNGKey(seed), pfc, B,
+    )
+    scan = jax.jit(
+        lambda s, Z, v, post, params: pf.pf_scan_bank_masked(
+            s, Z, v, post, params, log_T, model.config, pfc
+        )
+    )
+    t0 = time.perf_counter()
+    _, outs = scan(states, Zb, valid_j, model.posterior, model.params)
+    preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)
+    wall = time.perf_counter() - t0
+
+    frame_pred, frame_true, trial_pred = [], [], []
+    total_frames = 0
+    for i, label in enumerate(test_labels):
+        preds = preds_all[i, : lengths[i]]
+        total_frames += len(preds)
+        pe = preds[burn_in:]
+        frame_pred.append(pe)
+        frame_true.append(np.full(len(pe), label))
+        trial_pred.append(int(np.argmax(np.bincount(pe, minlength=n_classes))))
+    fcm = confusion_matrix(
+        np.concatenate(frame_pred), np.concatenate(frame_true), n_classes
+    )
+    tcm = confusion_matrix(
+        np.asarray(trial_pred), np.asarray(test_labels), n_classes
+    )
+    metric = binary_prf if n_classes == 2 else macro_prf
+    return EvalReport(
+        frame_confusion=fcm,
+        trial_confusion=tcm,
+        frame_metrics=metric(fcm),
+        trial_metrics=metric(tcm),
+        total_frames=total_frames,
+        total_wall_s=wall,
+    )

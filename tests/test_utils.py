@@ -198,6 +198,39 @@ def test_evaluate_pf_emits_logger_records():
     assert abs(logger.last("frame_acc") - report.frame_metrics["accuracy"]) < 1e-9
 
 
+def test_evaluate_pf_banked_matches_looped_quality():
+    """The one-dispatch banked evaluation reaches the same classification
+    quality as the per-trial loop (different RNG streams, same
+    distribution), with ragged trial lengths exercised."""
+    from gpmdm_tpu import GPMDM_PF, PFConfig
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.utils.metrics import evaluate_pf, evaluate_pf_banked
+
+    m = small_model()
+    m.train_adam(num_opt_steps=40, lr=0.02)
+    _, _, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=3, seq_len=25, D=8, seed=3
+    )
+    # ragged lengths: trim trials to different sizes
+    te = [np.asarray(Z)[: 25 - 3 * i] for i, Z in enumerate(te)]
+
+    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=64, seed=0)
+    looped = evaluate_pf(flt, te, tel, n_classes=2, burn_in=3)
+    banked = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], te, tel, num_particles=64,
+        burn_in=3, seed=0,
+    )
+    assert banked.total_frames == looped.total_frames
+    assert banked.frame_confusion.sum() == looped.frame_confusion.sum()
+    # same quality regime on a trained model
+    assert banked.frame_metrics["accuracy"] > 0.8
+    assert (
+        abs(banked.frame_metrics["accuracy"] - looped.frame_metrics["accuracy"])
+        < 0.15
+    )
+    assert banked.trial_confusion.trace() == len(te)  # all trials correct
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """The Orbax train-state backend restores params/opt-state/step/losses
     bit-identically and resumes to the same trajectory as the .npz backend."""
