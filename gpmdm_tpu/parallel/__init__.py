@@ -2,7 +2,11 @@
 
 from .dist_chol import chol_rowblock, tri_solve_lower_rowblock, y_nll_dist
 from .mesh import make_mesh, make_train_mesh, round_up
-from .pf_bank import pf_scan_bank_sharded, shard_bank_state
+from .pf_bank import (
+    pf_scan_bank_sharded,
+    pf_scan_bank_sharded_masked,
+    shard_bank_state,
+)
 from .sp_predict import predict_x_all_classes_rowsharded, predict_y_rowsharded
 from .sharded import (
     ShardedTrainContext,
@@ -21,6 +25,7 @@ __all__ = [
     "make_train_mesh",
     "round_up",
     "pf_scan_bank_sharded",
+    "pf_scan_bank_sharded_masked",
     "predict_y_rowsharded",
     "predict_x_all_classes_rowsharded",
     "shard_bank_state",

@@ -69,3 +69,46 @@ def pf_scan_bank_sharded(
     params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
     log_T = jax.device_put(log_T, repl)
     return run(states, Z, post, params, log_T)
+
+
+def pf_scan_bank_sharded_masked(
+    states: pf.PFState,
+    Z: jax.Array,
+    valid: jax.Array,
+    post: core.Posterior,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Sharded banks over PADDED sequences: the multi-chip form of banked
+    evaluation (utils.metrics.evaluate_pf_banked) — B variable-length
+    trials padded to one bucket, one filter bank row per trial, bank axis
+    sharded over the mesh, zero collectives.  ``valid`` is (B, T_pad)."""
+    bank_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    run = jax.jit(
+        partial(pf.pf_scan_bank_masked, cfg=cfg, pf_cfg=pf_cfg),
+        in_shardings=(
+            jax.tree.map(lambda _: bank_sh, states),
+            bank_sh,
+            bank_sh,
+            jax.tree.map(lambda _: repl, post),
+            jax.tree.map(lambda _: repl, params),
+            repl,
+        ),
+        out_shardings=(
+            jax.tree.map(lambda _: bank_sh, states),
+            None,
+        ),
+    )
+    Z = jax.device_put(jnp.asarray(Z), bank_sh)
+    valid = jax.device_put(jnp.asarray(valid), bank_sh)
+    states = shard_bank_state(states, mesh, axis)
+    post = jax.tree.map(lambda a: jax.device_put(a, repl), post)
+    params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
+    log_T = jax.device_put(log_T, repl)
+    return run(states, Z, valid, post, params, log_T)

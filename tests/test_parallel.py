@@ -130,6 +130,41 @@ def test_pf_bank_sharded_matches_unsharded(model):
     )
 
 
+def test_pf_bank_sharded_masked_matches_unsharded(model):
+    """The multi-chip banked-evaluation path (padded sequences + prefix
+    masks, bank axis dp-sharded) equals the unsharded masked bank."""
+    from gpmdm_tpu.parallel import pf_scan_bank_sharded_masked
+
+    m = model
+    m.train_adam(num_opt_steps=20, lr=0.02)
+    mesh = make_mesh({"dp": 8})
+    pfc = PFConfig(num_particles=16)
+    B, T_pad = 8, 8
+    log_T = jnp.log(jnp.full((3, 3), 1.0 / 3.0, dtype=jnp.float64))
+    states = pf.pf_init_bank(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc, B
+    )
+    lens = [3 + (c % 5) for c in range(B)]  # ragged 3..7
+    Z = np.zeros((B, T_pad, 9))
+    valid = np.zeros((B, T_pad), dtype=bool)
+    for i in range(B):
+        Z[i, : lens[i]] = np.asarray(synthetic.make_cycle(lens[i], i % 3, 9))
+        valid[i, : lens[i]] = True
+    Z = jnp.asarray(Z, dtype=jnp.float64)
+    valid_j = jnp.asarray(valid)
+    _, outs_sharded = pf_scan_bank_sharded_masked(
+        states, Z, valid_j, m.posterior, m.params, log_T, m.config, pfc, mesh
+    )
+    _, outs_ref = pf.pf_scan_bank_masked(
+        states, Z, valid_j, m.posterior, m.params, log_T, m.config, pfc
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_sharded.class_probs),
+        np.asarray(outs_ref.class_probs),
+        rtol=1e-8,
+    )
+
+
 def test_rowsharded_predict_matches_single_device():
     """Sequence-parallel (row-sharded) observation posterior == single-device
     predict_y, exactly (one all-gather + psum on an 8-device mesh)."""
