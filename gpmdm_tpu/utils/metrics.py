@@ -159,6 +159,7 @@ def evaluate_pf_banked(
     burn_in: int = 0,
     seed: int = 0,
     config=None,
+    mesh=None,
 ) -> EvalReport:
     """Evaluate ALL trials in one compiled dispatch.
 
@@ -169,8 +170,9 @@ def evaluate_pf_banked(
     reference's trial loop (test_gpmdm_pf.ipynb cell 4) collapsed into
     one batched scan.  Metrics match :func:`evaluate_pf` in distribution
     (per-trial RNG streams differ: banked filters draw from per-bank
-    keys).  The bank axis is dp-shardable across a mesh
-    (parallel/pf_bank.py) for multi-chip evaluation.
+    keys).  Pass ``mesh`` (a Mesh with a 'dp' axis) to shard the bank
+    axis across devices (parallel.pf_scan_bank_sharded_masked) —
+    multi-chip evaluation with zero collectives.
     """
     import time
 
@@ -199,15 +201,41 @@ def evaluate_pf_banked(
         model.posterior, model.layout.y_class_offsets,
         jax.random.PRNGKey(seed), pfc, B,
     )
-    scan = jax.jit(
-        lambda s, Z, v, post, params: pf.pf_scan_bank_masked(
-            s, Z, v, post, params, log_T, model.config, pfc
+    if mesh is not None:
+        from ..parallel import pf_scan_bank_sharded_masked
+
+        # pad the bank to a mesh-divisible size with all-invalid rows
+        # (their outputs are garbage and sliced off below)
+        n_dp = mesh.shape["dp"]
+        Bp = -(-B // n_dp) * n_dp
+        if Bp != B:
+            Zb = jnp.concatenate(
+                [Zb, jnp.zeros((Bp - B, T_pad, model.D), dtype=Zb.dtype)]
+            )
+            valid_j = jnp.concatenate(
+                [valid_j, jnp.zeros((Bp - B, T_pad), dtype=bool)]
+            )
+            states = pf.pf_init_bank(
+                model.posterior, model.layout.y_class_offsets,
+                jax.random.PRNGKey(seed), pfc, Bp,
+            )
+        t0 = time.perf_counter()
+        _, outs = pf_scan_bank_sharded_masked(
+            states, Zb, valid_j, model.posterior, model.params, log_T,
+            model.config, pfc, mesh,
         )
-    )
-    t0 = time.perf_counter()
-    _, outs = scan(states, Zb, valid_j, model.posterior, model.params)
-    preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)
-    wall = time.perf_counter() - t0
+        preds_all = np.asarray(outs.most_likely_class)[:B]
+        wall = time.perf_counter() - t0
+    else:
+        scan = jax.jit(
+            lambda s, Z, v, post, params: pf.pf_scan_bank_masked(
+                s, Z, v, post, params, log_T, model.config, pfc
+            )
+        )
+        t0 = time.perf_counter()
+        _, outs = scan(states, Zb, valid_j, model.posterior, model.params)
+        preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)
+        wall = time.perf_counter() - t0
 
     frame_pred, frame_true, trial_pred = [], [], []
     total_frames = 0

@@ -230,6 +230,18 @@ def test_evaluate_pf_banked_matches_looped_quality():
     )
     assert banked.trial_confusion.trace() == len(te)  # all trials correct
 
+    # mesh path: 3 trials padded to an 8-row bank sharded over dp=8
+    from gpmdm_tpu.parallel import make_mesh
+
+    sharded = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], te, tel, num_particles=64,
+        burn_in=3, seed=0, mesh=make_mesh({"dp": 8}),
+    )
+    # same seed + same bank layout for the first B rows -> identical metrics
+    np.testing.assert_array_equal(
+        sharded.frame_confusion, banked.frame_confusion
+    )
+
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """The Orbax train-state backend restores params/opt-state/step/losses
