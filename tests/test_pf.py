@@ -139,6 +139,37 @@ def test_step_and_scan_agree(trained_model):
     np.testing.assert_allclose(np.asarray(outs.class_probs), np.stack(step_probs), rtol=1e-8)
 
 
+def test_step_and_scan_agree_above_pregen_gate(trained_model):
+    """Above _PREGEN_MIN_P pf_scan pre-generates its randomness outside
+    the scan; the stream must still be bit-identical to sequential
+    pf_step calls (which draw in-step)."""
+    m, test_seqs, _ = trained_model
+    Z = jnp.asarray(test_seqs[0][:3], dtype=jnp.float64)
+    P = pf._PREGEN_MIN_P + 8
+    pfc = PFConfig(num_particles=P)
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]]))
+    s0 = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(7), pfc)
+
+    s = s0
+    step_probs = []
+    for t in range(3):
+        s, out = pf.pf_step(s, Z[t], m.posterior, m.params, log_T, m.config, pfc)
+        step_probs.append(np.asarray(out.class_probs))
+
+    _, outs = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
+    # the DRAWS are bit-identical (checked below via the key chain and in
+    # _pregen_noise's construction); the class_probs tolerance absorbs
+    # XLA reassociating f64 reductions differently between the two
+    # compiled programs (observed: 1e-80 absolute on a 1e-73 tail prob)
+    np.testing.assert_allclose(
+        np.asarray(outs.class_probs), np.stack(step_probs),
+        rtol=1e-8, atol=1e-12,
+    )
+    # the final key must match the sequential chain too
+    final_state, _ = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
+    np.testing.assert_array_equal(np.asarray(s.key), np.asarray(final_state.key))
+
+
 def test_bank_matches_single(trained_model):
     m, test_seqs, _ = trained_model
     Z = jnp.asarray(test_seqs[0][:6], dtype=jnp.float64)
