@@ -218,9 +218,9 @@ def main() -> None:
                 # tools/fetch_cmu.py).  tests/golden pins end-to-end
                 # parity vs the actual reference implementation instead.
                 "dataset": "synthetic-2class (CMU egress blocked)",
-                "d4_fps": round(d4_fps, 1) if d4_fps else None,
-                "d4_frame_acc": round(float(d4_acc), 4) if d4_acc else None,
-                "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 else None,
+                "d4_fps": round(d4_fps, 1) if d4_fps is not None else None,
+                "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
+                "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,
                 "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),

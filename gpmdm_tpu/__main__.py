@@ -117,6 +117,7 @@ def _cmd_eval(args) -> int:
             config=PFConfig(
                 num_particles=args.particles, resampling=args.resampling
             ),
+            logger=_make_logger(args),
         )
     else:
         flt = GPMDM_PF(

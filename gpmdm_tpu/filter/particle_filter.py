@@ -163,8 +163,8 @@ def _pregen_noise(key, T: int, P: int, d: int, dtype) -> PFNoise:
 
 
 # Above this many bytes of pre-generated noise, pf_scan falls back to
-# in-scan RNG (T * P * (d + 1) * 4; ~1.5 GB keeps even 100k-particle
-# 1000-frame scans comfortably inside HBM).
+# in-scan RNG (T * P * (d + 1) * itemsize; ~1.5 GB keeps even
+# 100k-particle 1000-frame f32 scans comfortably inside HBM).
 _PREGEN_NOISE_MAX_BYTES = 1_500_000_000
 # Below this particle count, in-scan RNG wins: a small-P step is
 # overhead-bound and the extra per-frame noise slices from HBM cost more
@@ -534,7 +534,8 @@ def pf_scan(
     threefry overhead hoisted out) unless the noise tensors would exceed
     ``_PREGEN_NOISE_MAX_BYTES``."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
-    if P >= _PREGEN_MIN_P and T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES:
+    nbytes = T * P * (d + 1) * jnp.dtype(state.x.dtype).itemsize
+    if P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES:
         noise = _pregen_noise(state.key, T, P, d, state.x.dtype)
 
         def step(s, inp):
@@ -574,9 +575,8 @@ def pf_scan_masked(
     would consume noise on masked positions (same distribution,
     different stream than the in-scan-RNG path); no caller does that."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
-    use_pregen = (
-        P >= _PREGEN_MIN_P and T * P * (d + 1) * 4 <= _PREGEN_NOISE_MAX_BYTES
-    )
+    nbytes = T * P * (d + 1) * jnp.dtype(state.x.dtype).itemsize
+    use_pregen = P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES
     noise = (
         _pregen_noise(state.key, T, P, d, state.x.dtype) if use_pregen else None
     )

@@ -9,7 +9,7 @@ Written in plain numpy (no sklearn dependency).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -155,11 +155,12 @@ def evaluate_pf_banked(
     T_matrix,
     test_seqs: Sequence[np.ndarray],
     test_labels: Sequence[int],
-    num_particles: int = 100,
+    num_particles: Optional[int] = None,
     burn_in: int = 0,
     seed: int = 0,
     config=None,
     mesh=None,
+    logger=None,
 ) -> EvalReport:
     """Evaluate ALL trials in one compiled dispatch.
 
@@ -193,7 +194,15 @@ def evaluate_pf_banked(
 
     B = len(test_seqs)
     n_classes = model.n_classes
-    pfc = config if config is not None else PFConfig(num_particles=num_particles)
+    # an explicitly passed particle count always wins, matching GPMDM_PF's
+    # ctor contract (particle_filter.py: config is rebuilt with
+    # num_particles); otherwise config's count (or the PFConfig default)
+    if config is not None and num_particles is not None:
+        pfc = dataclasses.replace(config, num_particles=num_particles)
+    elif config is not None:
+        pfc = config
+    else:
+        pfc = PFConfig(num_particles=num_particles or 100)
     log_T = jnp.log(jnp.asarray(T_matrix, dtype=model.dtype))
 
     lengths = [len(Z) for Z in test_seqs]
@@ -255,6 +264,13 @@ def evaluate_pf_banked(
         frame_pred.append(pe)
         frame_true.append(np.full(len(pe), label))
         trial_pred.append(int(np.argmax(np.bincount(pe, minlength=n_classes))))
+        if logger is not None:
+            logger.log(
+                step=i,
+                trial_frame_acc=float(np.mean(pe == label)),
+                pred_label=trial_pred[-1],
+                true_label=int(label),
+            )
     fcm = confusion_matrix(
         np.concatenate(frame_pred), np.concatenate(frame_true), n_classes
     )
@@ -262,6 +278,14 @@ def evaluate_pf_banked(
         np.asarray(trial_pred), np.asarray(test_labels), n_classes
     )
     metric = binary_prf if n_classes == 2 else macro_prf
+    if logger is not None:
+        fm = metric(fcm)
+        logger.log(
+            step=B,
+            frame_acc=fm["accuracy"],
+            frame_f1=fm["f1"],
+            fps=total_frames / wall if wall > 0 else 0.0,
+        )
     return EvalReport(
         frame_confusion=fcm,
         trial_confusion=tcm,

@@ -194,17 +194,19 @@ def main() -> None:
             total += len(pred) - 5
         return correct / total
 
-    orig_dyn, orig_obs = pfmod._use_pallas, pfmod._use_pallas_obs
+    orig_gate = pfmod._use_pallas
     for name, dyn_on, obs_on in [
         ("xla both", False, False),
         ("fused dyn only", True, False),
         ("fused obs only", False, True),
         ("fused both", True, True),
     ]:
-        pfmod._use_pallas = lambda p, c, v=dyn_on: v
-        pfmod._use_pallas_obs = lambda p, c, v=obs_on: v
+        pfmod._use_pallas = (
+            lambda p, c, stage="dyn", d=dyn_on, o=obs_on:
+            d if stage == "dyn" else o
+        )
         print(f"PF accuracy [{name:>15}]: {accuracy():.4f}")
-    pfmod._use_pallas, pfmod._use_pallas_obs = orig_dyn, orig_obs
+    pfmod._use_pallas = orig_gate
 
 
 if __name__ == "__main__":

@@ -66,8 +66,10 @@ def main() -> None:
         ("fused obs only", False, True),
         ("fused both", True, True),
     ]:
-        pfmod._use_pallas = lambda p, c, v=dyn_on: v
-        pfmod._use_pallas_obs = lambda p, c, v=obs_on: v
+        pfmod._use_pallas = (
+            lambda p, c, stage="dyn", d=dyn_on, o=obs_on:
+            d if stage == "dyn" else o
+        )
 
         scan = jax.jit(
             lambda s, Z: pfmod.pf_scan(s, Z, post, params, log_T, cfg, pfc)
