@@ -524,6 +524,7 @@ def pf_scan(
     log_T: jax.Array,
     cfg: GPMDMConfig,
     pf_cfg: PFConfig,
+    pregen: bool = True,
 ) -> tuple[PFState, PFOutputs]:
     """Stream a whole (T, D) observation sequence through the filter as one
     ``lax.scan`` — the compiled replacement for the reference's per-frame
@@ -535,7 +536,7 @@ def pf_scan(
     ``_PREGEN_NOISE_MAX_BYTES``."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
     nbytes = T * P * (d + 1) * jnp.dtype(state.x.dtype).itemsize
-    if P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES:
+    if pregen and P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES:
         noise = _pregen_noise(state.key, T, P, d, state.x.dtype)
 
         def step(s, inp):
@@ -559,6 +560,7 @@ def pf_scan_masked(
     log_T: jax.Array,
     cfg: GPMDMConfig,
     pf_cfg: PFConfig,
+    pregen: bool = True,
 ) -> tuple[PFState, PFOutputs]:
     """``pf_scan`` over a padded (T_pad, D) sequence: frames where
     ``valid[t] == False`` are no-ops (state passes through unchanged, their
@@ -576,7 +578,9 @@ def pf_scan_masked(
     different stream than the in-scan-RNG path); no caller does that."""
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
     nbytes = T * P * (d + 1) * jnp.dtype(state.x.dtype).itemsize
-    use_pregen = P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES
+    use_pregen = (
+        pregen and P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES
+    )
     noise = (
         _pregen_noise(state.key, T, P, d, state.x.dtype) if use_pregen else None
     )
@@ -614,8 +618,13 @@ def pf_scan_bank(
 ) -> tuple[PFState, PFOutputs]:
     """Run B independent filters at once: ``states`` has a leading bank axis
     on every leaf and Z is (B, T, D).  Model state is shared (broadcast)."""
+    # pregen=False: under vmap the per-frame noise slices stream from HBM
+    # and measured SLOWER than in-scan RNG at every bank size (v5e:
+    # 64x1k banks 20.2k vs 18.7k agg fps; 12x10k banks 0.47 vs 0.54
+    # ms/bank-frame) — the VPU threefry overlaps the MXU matmuls anyway.
     return jax.vmap(
-        lambda s, z: pf_scan(s, z, post, params, log_T, cfg, pf_cfg)
+        lambda s, z: pf_scan(s, z, post, params, log_T, cfg, pf_cfg,
+                             pregen=False)
     )(states, Z)
 
 
@@ -635,8 +644,10 @@ def pf_scan_bank_masked(
     through the filter at once (evaluate_pf_banked), replacing the
     reference's per-trial Python loop (test_gpmdm_pf.ipynb cell 4) with
     one compiled call."""
+    # pregen=False: see pf_scan_bank
     return jax.vmap(
-        lambda s, z, v: pf_scan_masked(s, z, v, post, params, log_T, cfg, pf_cfg)
+        lambda s, z, v: pf_scan_masked(s, z, v, post, params, log_T, cfg,
+                                       pf_cfg, pregen=False)
     )(states, Z, valid)
 
 

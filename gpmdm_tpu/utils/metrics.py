@@ -175,14 +175,10 @@ def evaluate_pf_banked(
     axis across devices (parallel.pf_scan_bank_sharded_masked) —
     multi-chip evaluation with zero collectives.
 
-    When to use which (measured, tools/bench_banked_eval.py, one v5e,
-    12 trials): banked is 2.5x faster at P=100 (the reference's eval
-    config — dispatch-bound) and 1.4x at P=1k, but ~2x SLOWER at P=10k,
-    where the vmapped step runs ~0.54 ms/bank-frame vs 0.34 single —
-    at large P a single filter already saturates the chip and the bank
-    batching only adds overhead.  Rule of thumb: banked below ~2k
-    particles per filter, looped (or dp-sharded banks over real multiple
-    chips) above.
+    Measured (tools/bench_banked_eval.py, one v5e, 12 trials, warm):
+    banked is faster at every filter size — 1.7x at P=100 (the
+    reference's eval config; the loop is dispatch-bound), 1.9x at P=1k,
+    1.4x at P=10k (banks draw RNG in-scan; see pf_scan_bank).
     """
     import time
 
