@@ -367,6 +367,9 @@ def precompute_host(
     from ..ops import kernels_host as KH
 
     f64 = KH.f64
+    # fetch every device leaf in ONE transfer: per-leaf fetches cost a
+    # large fixed round trip on the remote-TPU transport (KH.fetch_tree)
+    params, Y = KH.fetch_tree((params, Y))
     X = f64(params.X)
     Y64 = f64(Y)
     y_ls = np.exp(f64(params.y_log_lengthscales))

@@ -300,6 +300,8 @@ def precompute_host(
     from ..ops import kernels_host as KH
 
     f64 = KH.f64
+    # one batched device->host transfer (see KH.fetch_tree)
+    params, Y = KH.fetch_tree((params, Y))
     X = f64(params.X)
     Y64 = f64(Y)
     Zy = f64(params.Zy)

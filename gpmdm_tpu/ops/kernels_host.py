@@ -15,6 +15,36 @@ def f64(a) -> np.ndarray:
     return np.asarray(a, dtype=np.float64)
 
 
+def fetch_tree(tree):
+    """Device -> host for a whole pytree in ONE transfer.
+
+    Per-leaf ``np.asarray(jax_array)`` pays a large fixed per-transfer
+    cost on the remote-TPU transport (measured 9-63 s PER LEAF for
+    kilobyte arrays under load — GPMDM.load spent 55-380 s fetching six
+    tiny hyperparameter vectors).  Concatenating the raveled leaves on
+    device and fetching once amortizes that to a single round trip.
+    Leaves that are already numpy pass through untouched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(tree)
+    dev_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    if len(dev_idx) > 1:
+        flat = jnp.concatenate(
+            [jnp.ravel(leaves[i]).astype(jnp.float64) for i in dev_idx]
+        )
+        host = np.asarray(flat)  # the one transfer
+        ofs = 0
+        for i in dev_idx:
+            n = leaves[i].size
+            leaves[i] = host[ofs:ofs + n].reshape(leaves[i].shape)
+            ofs += n
+    return jax.tree.unflatten(
+        treedef, [np.asarray(l, dtype=np.float64) for l in leaves]
+    )
+
+
 def rbf(A: np.ndarray, B: np.ndarray, lengthscales: np.ndarray) -> np.ndarray:
     """Unit-signal-variance RBF (ops/kernels.rbf_kernel; reference
     gpmdm.py:436-517)."""
