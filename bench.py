@@ -48,6 +48,20 @@ def main() -> None:
 
     import os
 
+    # Warm the device->host transfer path concurrently with setup: the
+    # FIRST fetch in a process pays a transport-init cost measured
+    # anywhere from 2 s to 450 s on this tunnel (CLAUDE.md); doing it in
+    # a daemon thread overlaps that wait with model load + compiles.
+    import threading
+
+    def _warm_fetch():
+        try:
+            np.asarray(jnp.zeros((1,), dtype=jnp.float32) + 0)
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm_fetch, daemon=True).start()
+
     timer = StageTimer()
     t_setup = time.perf_counter()
     _, _, test_seqs, _ = synthetic.make_dataset(

@@ -211,17 +211,23 @@ class GPMDM:
         if self.posterior is None:
             self._precompute_kernel_inverses()
 
-    def _precompute_kernel_inverses(self) -> None:
+    def _precompute_kernel_inverses(self, host_params=None) -> None:
         """Refresh posterior state (reference _precompute_kernel_inverses,
         gpmdm.py:1284-1305).
 
         Runs on the host in float64 (core.precompute_host): trained Gram
         matrices sit at f32's conditioning limit, and the one-time f64
         factorization makes the low-precision deployed posterior stable on
-        TPU (factor high, deploy low)."""
+        TPU (factor high, deploy low).
+
+        ``host_params``: numpy copies of ``self.params``, when the caller
+        already has them (checkpoint loading) — avoids a device->host
+        fetch, whose FIRST occurrence in a process costs 2-450 s on the
+        remote-TPU transport (CLAUDE.md)."""
         self._require_init()
         self.posterior = core.precompute_host(
-            self.params, self.get_Y(), self.config, self.layout
+            host_params if host_params is not None else self.params,
+            self.get_Y(), self.config, self.layout,
         )
 
     # ------------------------------------------------------------- training

@@ -76,12 +76,14 @@ class SparseGPMDM(GPMDM):
         self._opt_state = None
         self._precompute_kernel_inverses()
 
-    def _precompute_kernel_inverses(self) -> None:
+    def _precompute_kernel_inverses(self, host_params=None) -> None:
         # host f64 factorization, cast to model dtype (see
-        # sparse.precompute_host / core.precompute_host rationale)
+        # sparse.precompute_host / core.precompute_host rationale);
+        # host_params avoids the device->host fetch on checkpoint load
         self._require_init()
         self.posterior = sparse.precompute_host(
-            self.params, self.get_Y(), self.config, self.layout
+            host_params if host_params is not None else self.params,
+            self.get_Y(), self.config, self.layout,
         )
 
     # ------------------------------------------------------------- training

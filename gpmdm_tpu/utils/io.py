@@ -161,6 +161,13 @@ def load_model(cls, file_path):
             model.params = _ParamCls(
                 **{f: jnp.asarray(data[f"param_{f}"], dtype=dt) for f in fields}
             )
+            # numpy originals for the posterior precompute: skips the
+            # device->host fetch (first-fetch path init costs 2-450 s on
+            # the remote-TPU transport)
+            host_params = _ParamCls(
+                **{f: np.asarray(data[f"param_{f}"], dtype=np.float64)
+                   for f in fields}
+            )
             if meta.get("model_class") == "BCGPMDM":
                 # X slot carried W; restore config lengthscale + rematerialize
                 model.config = model.config.replace(
@@ -182,7 +189,7 @@ def load_model(cls, file_path):
             if meta.get("model_class") == "BCGPMDM":
                 model._materialize()  # X <- K_b @ W, then precompute
             else:
-                model._precompute_kernel_inverses()
+                model._precompute_kernel_inverses(host_params=host_params)
     return model
 
 
