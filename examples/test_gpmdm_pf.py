@@ -45,12 +45,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
     ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--banked", action="store_true",
+                    help="stream ALL trials in one compiled dispatch")
     args = ap.parse_args()
 
     model = GPMDM.load(args.ckpt)
     seqs, labels = load_test_data()
-    flt = GPMDM_PF(model, [[0.9, 0.1], [0.1, 0.9]], num_particles=args.particles)
-    report = evaluate_pf(flt, [np.asarray(s) for s in seqs], labels, n_classes=2)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    if args.banked:
+        from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+
+        report = evaluate_pf_banked(
+            model, T, [np.asarray(s) for s in seqs], labels,
+            num_particles=args.particles,
+        )
+    else:
+        flt = GPMDM_PF(model, T, num_particles=args.particles)
+        report = evaluate_pf(
+            flt, [np.asarray(s) for s in seqs], labels, n_classes=2
+        )
     print(report.summary())
 
 
