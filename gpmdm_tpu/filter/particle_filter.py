@@ -146,18 +146,24 @@ class PFNoise:
     k_res: jax.Array  # PRNG key for resampling
 
 
-def _pregen_noise(key, T: int, P: int, d: int, dtype) -> PFNoise:
+def _pregen_noise(key, T: int, P: int, d: int, dtype, trans_dtype=None) -> PFNoise:
     """Pre-generate T frames of PF randomness from ``key``'s split chain.
 
     Produces exactly the values T sequential ``pf_step`` calls would draw
-    (tests/test_pf.py pins scan == sequential steps)."""
+    (tests/test_pf.py pins scan == sequential steps).  ``trans_dtype`` is
+    the dtype the in-scan path draws its transition uniforms in (log_T's
+    dtype via cum_T) — threading it through keeps the bit-identical
+    pregen/in-scan guarantee even when log_T's dtype differs from the
+    particle state's (ADVICE r2)."""
+    if trans_dtype is None:
+        trans_dtype = dtype
 
     def chain(k, _):
         k2, kt, kd, kr = jax.random.split(k, 4)
         return k2, (k2, kt, kd, kr)
 
     _, (next_keys, kts, kds, krs) = jax.lax.scan(chain, key, None, length=T)
-    U = jax.vmap(lambda k: jax.random.uniform(k, (P,), dtype=dtype))(kts)
+    U = jax.vmap(lambda k: jax.random.uniform(k, (P,), dtype=trans_dtype))(kts)
     E = jax.vmap(lambda k: jax.random.normal(k, (P, d), dtype=dtype))(kds)
     return PFNoise(next_key=next_keys, u_trans=U, eps_dyn=E, k_res=krs)
 
@@ -270,9 +276,16 @@ def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
     searchsorted on every input (tests/test_pf.py)."""
     P = log_w.shape[0]
     k = _RANK_TILE_K
-    w = jax.nn.softmax(log_w)
+    # w/cum/s in at least f32 regardless of the model dtype: for bf16
+    # weights, P*cum at P >= 1k is not representable (integers above 256
+    # quantize in steps of up to 64) and the resulting ranks would skew
+    # systematically.  promote_types (not a blanket f32 cast) keeps the
+    # f32/f64 streams bit-identical to before (golden e2e pins them); the
+    # 0/1 matmul below already runs bf16/f32, so this costs nothing.
+    ct = jnp.promote_types(log_w.dtype, jnp.float32)
+    w = jax.nn.softmax(log_w.astype(ct))
     cum = jnp.cumsum(w)
-    u = jax.random.uniform(key, (), dtype=w.dtype)
+    u = jax.random.uniform(key, (), dtype=ct)
     s = jnp.clip(jnp.floor(P * cum - u).astype(jnp.int32) + 1, 0, P)
     K = -(-P // k)
     A = (s[None, :] // k == jnp.arange(K, dtype=jnp.int32)[:, None]).astype(
@@ -537,7 +550,7 @@ def pf_scan(
     T, P, d = Z.shape[0], state.x.shape[0], state.x.shape[1]
     nbytes = T * P * (d + 1) * jnp.dtype(state.x.dtype).itemsize
     if pregen and P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES:
-        noise = _pregen_noise(state.key, T, P, d, state.x.dtype)
+        noise = _pregen_noise(state.key, T, P, d, state.x.dtype, log_T.dtype)
 
         def step(s, inp):
             z, nz = inp
@@ -582,7 +595,9 @@ def pf_scan_masked(
         pregen and P >= _PREGEN_MIN_P and nbytes <= _PREGEN_NOISE_MAX_BYTES
     )
     noise = (
-        _pregen_noise(state.key, T, P, d, state.x.dtype) if use_pregen else None
+        _pregen_noise(state.key, T, P, d, state.x.dtype, log_T.dtype)
+        if use_pregen
+        else None
     )
 
     def step(s, inp):
@@ -679,6 +694,22 @@ def _instance_jits(cfg: GPMDMConfig, pf_cfg: PFConfig):
         return pf_scan_masked(state, Z, valid, post, params, log_T, cfg, pf_cfg)
 
     return _step, _scan
+
+
+@functools.lru_cache(maxsize=32)
+def _banked_scan_jit(cfg: GPMDMConfig, pf_cfg: PFConfig):
+    """Jitted masked bank scan shared across callers with the same static
+    configs (log_T is a runtime argument): repeated ``evaluate_pf_banked``
+    calls with identical shapes reuse one compiled executable instead of
+    recompiling per call (ADVICE r2)."""
+
+    @jax.jit
+    def _scan(states, Z, valid, post, params, log_T):
+        return pf_scan_bank_masked(
+            states, Z, valid, post, params, log_T, cfg, pf_cfg
+        )
+
+    return _scan
 
 
 # ---------------------------------------------------------------------------

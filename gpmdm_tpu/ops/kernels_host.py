@@ -16,20 +16,29 @@ def f64(a) -> np.ndarray:
 
 
 def fetch_tree(tree):
-    """Device -> host for a whole pytree in ONE transfer.
+    """Device -> host for a whole pytree in ONE transfer, dtype-preserving.
 
     Per-leaf ``np.asarray(jax_array)`` pays a large fixed per-transfer
     cost on the remote-TPU transport (measured 9-63 s PER LEAF for
     kilobyte arrays under load — GPMDM.load spent 55-380 s fetching six
     tiny hyperparameter vectors).  Concatenating the raveled leaves on
     device and fetching once amortizes that to a single round trip.
-    Leaves that are already numpy pass through untouched.
+
+    Every leaf comes back in its ORIGINAL dtype: floating device leaves
+    ride the batched f64 transfer (widening is lossless) and are cast
+    back; non-float device leaves (int/bool — none in current callers)
+    are fetched individually so no value can quantize through a float
+    round-trip; numpy leaves pass through untouched.
     """
     import jax
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree.flatten(tree)
-    dev_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    dev_idx = [
+        i
+        for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
     if len(dev_idx) > 1:
         flat = jnp.concatenate(
             [jnp.ravel(leaves[i]).astype(jnp.float64) for i in dev_idx]
@@ -38,10 +47,13 @@ def fetch_tree(tree):
         ofs = 0
         for i in dev_idx:
             n = leaves[i].size
-            leaves[i] = host[ofs:ofs + n].reshape(leaves[i].shape)
+            leaves[i] = (
+                host[ofs:ofs + n].reshape(leaves[i].shape).astype(leaves[i].dtype)
+            )
             ofs += n
     return jax.tree.unflatten(
-        treedef, [np.asarray(l, dtype=np.float64) for l in leaves]
+        treedef,
+        [np.asarray(l) if isinstance(l, jax.Array) else l for l in leaves],
     )
 
 

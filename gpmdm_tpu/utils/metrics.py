@@ -241,13 +241,13 @@ def evaluate_pf_banked(
         preds_all = np.asarray(outs.most_likely_class)[:B]
         wall = time.perf_counter() - t0
     else:
-        scan = jax.jit(
-            lambda s, Z, v, post, params: pf.pf_scan_bank_masked(
-                s, Z, v, post, params, log_T, model.config, pfc
-            )
-        )
+        # module-level jit cache keyed on (cfg, pf_cfg): repeated
+        # evaluations with the same shapes reuse the compiled executable
+        # (a fresh jax.jit(lambda) here recompiled on every call and the
+        # reported wall always included compile time)
+        scan = pf._banked_scan_jit(model.config, pfc)
         t0 = time.perf_counter()
-        _, outs = scan(states, Zb, valid_j, model.posterior, model.params)
+        _, outs = scan(states, Zb, valid_j, model.posterior, model.params, log_T)
         preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)
         wall = time.perf_counter() - t0
 
