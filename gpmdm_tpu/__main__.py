@@ -110,6 +110,12 @@ def _cmd_eval(args) -> int:
     T = [[0.9, 0.1], [0.1, 0.9]]
     seqs = [np.asarray(Z) for Z, _ in test]
     labels = [c for _, c in test]
+    post = None
+    if args.compressed or args.compress_rank:
+        rank = args.compress_rank or None
+        post = model.compressed_posterior(rank_y=rank, rank_x=rank)
+        q = post.Ry.shape[0]
+        print(f"compressed posterior: quad rank {q}/{model.layout.Ny}")
     if args.banked:
         report = evaluate_pf_banked(
             model, T, seqs, labels,
@@ -118,6 +124,7 @@ def _cmd_eval(args) -> int:
                 num_particles=args.particles, resampling=args.resampling
             ),
             logger=_make_logger(args),
+            posterior=post,
         )
     else:
         flt = GPMDM_PF(
@@ -126,6 +133,7 @@ def _cmd_eval(args) -> int:
             num_particles=args.particles,
             config=PFConfig(resampling=args.resampling),
             seed=args.seed,
+            posterior=post,
         )
         report = evaluate_pf(
             flt, seqs, labels,
@@ -235,6 +243,11 @@ def main(argv=None) -> int:
     pe.add_argument("--resampling", default="systematic", choices=["systematic", "multinomial"])
     pe.add_argument("--burn-in", type=int, default=0)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--compressed", action="store_true",
+                    help="deploy the low-rank-quad compressed posterior "
+                         "(spectral rank selection; models/compressed.py)")
+    pe.add_argument("--compress-rank", type=int, default=0,
+                    help="pin the compressed quad rank (implies --compressed)")
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")

@@ -85,16 +85,19 @@ def _use_pallas(post, pf_cfg, stage: str = "dyn") -> bool:
 
 def _predictors(post):
     """Posterior-backend dispatch: the filter runs unchanged on the exact GP
-    posterior (core.Posterior) or the sparse SGPR posterior
-    (sparse.SparsePosterior) — both expose the same (mean, per-dim var)
-    prediction contract.  Resolved at trace time (type check, no runtime
-    branch)."""
+    posterior (core.Posterior), the sparse SGPR posterior
+    (sparse.SparsePosterior), or the low-rank-quad compressed posterior
+    (compressed.CompressedPosterior) — all expose the same (mean, per-dim
+    var) prediction contract.  Resolved at trace time (type check, no
+    runtime branch)."""
     if isinstance(post, core.Posterior):
         return core.predict_y, core.predict_x_all_classes
-    from ..models import sparse
+    from ..models import compressed, sparse
 
     if isinstance(post, sparse.SparsePosterior):
         return sparse.predict_y, sparse.predict_x_all_classes
+    if isinstance(post, compressed.CompressedPosterior):
+        return compressed.predict_y, compressed.predict_x_all_classes
     raise TypeError(f"unknown posterior backend: {type(post)!r}")
 
 
@@ -735,9 +738,16 @@ class GPMDM_PF:
         num_particles: int,
         config: Optional[PFConfig] = None,
         seed: int = 0,
+        posterior=None,
     ):
+        """``posterior`` (optional) overrides the model's exact posterior —
+        e.g. ``gpmdm.compressed_posterior(...)`` for the low-rank-quad
+        deployment path, or a ``SparsePosterior``.  Default: the model's
+        own (exact for GPMDM, SGPR for SparseGPMDM)."""
         self._gpmdm = gpmdm
-        gpmdm._require_posterior()
+        self._posterior_override = posterior
+        if posterior is None:
+            gpmdm._require_posterior()
         T = np.asarray(markov_switching_model, dtype=np.float64)
         if T.shape != (gpmdm.n_classes, gpmdm.n_classes):
             raise ValueError(
@@ -762,10 +772,18 @@ class GPMDM_PF:
 
     # ------------------------------------------------------------------ api
 
+    @property
+    def _post(self):
+        return (
+            self._posterior_override
+            if self._posterior_override is not None
+            else self._gpmdm.posterior
+        )
+
     def reset(self) -> None:
         """Re-initialize particles (reference reset, gpmdm_pf.py:264)."""
         self.state = pf_init(
-            self._gpmdm.posterior,
+            self._post,
             self._gpmdm.layout.y_class_offsets,
             jax.random.PRNGKey(self._seed),
             self.pf_config,
@@ -776,7 +794,7 @@ class GPMDM_PF:
         """One per-frame update (reference update, gpmdm_pf.py:117-135)."""
         z = jnp.asarray(z, dtype=self._gpmdm.dtype).reshape(-1)
         self.state, out = self._jit_step(
-            self.state, z, self._gpmdm.posterior, self._gpmdm.params, self._log_T
+            self.state, z, self._post, self._gpmdm.params, self._log_T
         )
         self._last_outputs = out
         return out
@@ -794,7 +812,7 @@ class GPMDM_PF:
         valid = jnp.arange(T_pad) < T
         Zp = jnp.pad(Z, ((0, T_pad - T), (0, 0)))
         self.state, outs = self._jit_scan(
-            self.state, Zp, valid, self._gpmdm.posterior, self._gpmdm.params,
+            self.state, Zp, valid, self._post, self._gpmdm.params,
             self._log_T,
         )
         outs = jax.tree.map(lambda a: a[:T], outs)

@@ -230,6 +230,25 @@ class GPMDM:
             self.get_Y(), self.config, self.layout,
         )
 
+    def compressed_posterior(
+        self,
+        rank_y: int | None = None,
+        rank_x: int | None = None,
+        tol: float = 1e-6,
+    ):
+        """Low-rank-quad deployment posterior (models/compressed.py): the
+        predictive MEAN stays exact, the variance quad contraction drops
+        from O(N^2 P) to O(N q P) per filter frame.  Pass the result as the
+        ``posterior=`` of :class:`GPMDM_PF` / ``pf_scan``.  ``tol`` selects
+        ranks from the Gram spectrum when ``rank_*`` are not pinned."""
+        from . import compressed
+
+        self._require_init()
+        return compressed.compress_host(
+            self.params, self.get_Y(), self.config, self.layout,
+            rank_y=rank_y, rank_x=rank_x, tol=tol,
+        )
+
     # ------------------------------------------------------------- training
 
     def set_evaluation_mode(self) -> None:

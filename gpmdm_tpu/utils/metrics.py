@@ -161,6 +161,7 @@ def evaluate_pf_banked(
     config=None,
     mesh=None,
     logger=None,
+    posterior=None,
 ) -> EvalReport:
     """Evaluate ALL trials in one compiled dispatch.
 
@@ -173,7 +174,8 @@ def evaluate_pf_banked(
     (per-trial RNG streams differ: banked filters draw from per-bank
     keys).  Pass ``mesh`` (a Mesh with a 'dp' axis) to shard the bank
     axis across devices (parallel.pf_scan_bank_sharded_masked) —
-    multi-chip evaluation with zero collectives.
+    multi-chip evaluation with zero collectives.  ``posterior`` overrides
+    the model's own posterior (e.g. ``model.compressed_posterior(...)``).
 
     Measured (tools/bench_banked_eval.py, one v5e, 12 trials, warm):
     banked is faster at every filter size — 1.7x at P=100 (the
@@ -200,6 +202,7 @@ def evaluate_pf_banked(
     else:
         pfc = PFConfig(num_particles=num_particles or 100)
     log_T = jnp.log(jnp.asarray(T_matrix, dtype=model.dtype))
+    post = posterior if posterior is not None else model.posterior
 
     lengths = [len(Z) for Z in test_seqs]
     T_pad = pf.bucket_length(max(lengths))
@@ -212,7 +215,7 @@ def evaluate_pf_banked(
     valid_j = jnp.asarray(valid)
 
     states = pf.pf_init_bank(
-        model.posterior, model.layout.y_class_offsets,
+        post, model.layout.y_class_offsets,
         jax.random.PRNGKey(seed), pfc, B,
     )
     if mesh is not None:
@@ -230,12 +233,12 @@ def evaluate_pf_banked(
                 [valid_j, jnp.zeros((Bp - B, T_pad), dtype=bool)]
             )
             states = pf.pf_init_bank(
-                model.posterior, model.layout.y_class_offsets,
+                post, model.layout.y_class_offsets,
                 jax.random.PRNGKey(seed), pfc, Bp,
             )
         t0 = time.perf_counter()
         _, outs = pf_scan_bank_sharded_masked(
-            states, Zb, valid_j, model.posterior, model.params, log_T,
+            states, Zb, valid_j, post, model.params, log_T,
             model.config, pfc, mesh,
         )
         preds_all = np.asarray(outs.most_likely_class)[:B]
@@ -247,7 +250,7 @@ def evaluate_pf_banked(
         # reported wall always included compile time)
         scan = pf._banked_scan_jit(model.config, pfc)
         t0 = time.perf_counter()
-        _, outs = scan(states, Zb, valid_j, model.posterior, model.params, log_T)
+        _, outs = scan(states, Zb, valid_j, post, model.params, log_T)
         preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)
         wall = time.perf_counter() - t0
 

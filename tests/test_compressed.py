@@ -1,0 +1,121 @@
+"""Low-rank-quad compressed posterior (models/compressed.py): exactness at
+full rank, spectral-truncation quality, conservative failure direction,
+filter-backend dispatch, and PF end-to-end parity with the exact path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmdm_tpu import GPMDM, GPMDM_PF, PFConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.models import compressed, core
+
+
+@pytest.fixture(scope="module")
+def trained():
+    tr, tl, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=3, n_test_seqs=4, seq_len=50, D=12, seed=0
+    )
+    m = GPMDM(
+        D=12, d=2, n_classes=2, dtype="float64",
+        y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=120, lr=0.01)
+    return m, te, tel
+
+
+@pytest.fixture(scope="module")
+def queries(trained):
+    m, _, _ = trained
+    rs = np.random.RandomState(1)
+    return jnp.asarray(rs.randn(150, m.d) * 1.2)
+
+
+def test_full_rank_is_exact(trained, queries):
+    """With every eigenpair kept, the compressed quad IS the exact quad
+    (same matrix in factored form)."""
+    m, _, _ = trained
+    N = m.layout.Ny
+    cp = m.compressed_posterior(rank_y=N, rank_x=m.layout.n_max)
+    my, vy = core.predict_y(m.posterior, m.params, queries, m.config)
+    cy, cvy = compressed.predict_y(cp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(cy), np.asarray(my), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cvy), np.asarray(vy), rtol=1e-5, atol=1e-11)
+    mx, vx = core.predict_x_all_classes(m.posterior, m.params, queries, m.config)
+    cx, cvx = compressed.predict_x_all_classes(cp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(mx), atol=1e-9)
+    # trained dynamics Grams sit at condition ~1e7: f64 eigh-vs-inverse
+    # roundoff on the quad reaches ~1e-8 absolute, which is ~1e-4 relative
+    # on the smallest variances — a conditioning artifact, not truncation
+    np.testing.assert_allclose(np.asarray(cvx), np.asarray(vx), rtol=1e-3, atol=1e-11)
+
+
+def test_spectral_truncation_quality(trained, queries):
+    """tol-selected ranks keep the variance within 1% while cutting the
+    factor well below N; the mean is bit-exact by construction."""
+    m, _, _ = trained
+    cp = m.compressed_posterior(tol=1e-6)
+    assert cp.Ry.shape[0] < m.layout.Ny  # actually compressed
+    my, vy = core.predict_y(m.posterior, m.params, queries, m.config)
+    cy, cvy = compressed.predict_y(cp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(cy), np.asarray(my), atol=1e-9)
+    assert float(jnp.max(jnp.abs(cvy - vy) / vy)) < 1e-2
+    mx, vx = core.predict_x_all_classes(m.posterior, m.params, queries, m.config)
+    cx, cvx = compressed.predict_x_all_classes(cp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(mx), atol=1e-9)
+    assert float(jnp.max(jnp.abs(cvx - vx) / vx)) < 1e-2
+
+
+def test_truncation_direction_is_variance_underestimate(trained, queries):
+    """Dropping eigenpairs can only GROW the quad, i.e. the compressed
+    variance is <= the exact variance (up to the 1e-9 floor): the
+    documented conservative-direction property."""
+    m, _, _ = trained
+    cp = m.compressed_posterior(rank_y=8, rank_x=8)  # aggressive truncation
+    _, vy = core.predict_y(m.posterior, m.params, queries, m.config)
+    _, cvy = compressed.predict_y(cp, m.params, queries, m.config)
+    assert np.all(np.asarray(cvy) <= np.asarray(vy) * (1 + 1e-9) + 1e-8)
+
+
+def test_pf_dispatch_and_end_to_end(trained):
+    """The filter accepts the compressed posterior everywhere the exact one
+    is accepted, and classification quality matches."""
+    m, te, tel = trained
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+
+    rep_exact = evaluate_pf_banked(
+        m, T, [np.asarray(Z) for Z in te], tel, num_particles=400, burn_in=5,
+        seed=0,
+    )
+    cp = m.compressed_posterior(tol=1e-6)
+    rep_comp = evaluate_pf_banked(
+        m, T, [np.asarray(Z) for Z in te], tel, num_particles=400, burn_in=5,
+        seed=0, posterior=cp,
+    )
+    assert rep_comp.frame_metrics["accuracy"] > 0.8
+    assert (
+        abs(rep_comp.frame_metrics["accuracy"] - rep_exact.frame_metrics["accuracy"])
+        < 0.05
+    )
+
+    # stateful wrapper with the override
+    flt = GPMDM_PF(m, T, 200, posterior=cp, seed=3)
+    outs = flt.run(np.asarray(te[0]))
+    assert np.asarray(outs.class_probs).shape == (len(te[0]), 2)
+    flt.update(np.asarray(te[0][0]))  # per-frame path compiles + runs
+
+
+def test_compressed_is_a_pytree(trained):
+    m, _, _ = trained
+    cp = m.compressed_posterior(tol=1e-6)
+    leaves = jax.tree.leaves(cp)
+    assert all(isinstance(l, jax.Array) for l in leaves)
+    # jit through it
+    f = jax.jit(lambda p, q: compressed.predict_y(p, m.params, q, m.config)[0])
+    out = f(cp, jnp.zeros((3, m.d)))
+    assert out.shape == (3, m.D)
