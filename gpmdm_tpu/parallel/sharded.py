@@ -284,13 +284,23 @@ def make_sharded_update_step(
     optimizer: optax.GradientTransformation,
     balance: float,
     mask: core.GPMDMParams,
+    latent_map: Callable | None = None,
 ) -> Callable:
     """One jittable sharded Adam step (multi-chip analogue of
-    trainer.make_update_step)."""
+    trainer.make_update_step).
+
+    ``latent_map`` (optional) transforms the parameter pytree before the
+    loss — the hook the back-constrained family uses to train W with the
+    effective latent ``X = K_b @ W`` (models/back_constrained.py); the
+    transform runs replicated and gradients flow through it."""
+
+    def loss_fn(params, Y_padded, ctx, balance):
+        p = latent_map(params) if latent_map is not None else params
+        return nll_sharded(p, Y_padded, ctx, balance)
 
     def step(carry, _):
         params, opt_state, Y_padded = carry
-        loss, grads = jax.value_and_grad(nll_sharded)(params, Y_padded, ctx, balance)
+        loss, grads = jax.value_and_grad(loss_fn)(params, Y_padded, ctx, balance)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -316,6 +326,7 @@ def train_adam_sharded(
     mode: str = "all",
     opt_state=None,
     shard_chol: bool = False,
+    latent_map: Callable | None = None,
 ):
     """Sharded counterpart of trainer.train_adam: the whole optimization
     runs as one jitted lax.scan of sharded update steps.
@@ -323,6 +334,9 @@ def train_adam_sharded(
     ``shard_chol=True`` row-shards the observation Gram and factorizes it
     with the distributed blocked Cholesky (parallel/dist_chol) instead of
     replicating the O(Ny^3) factorization on every device.
+
+    ``latent_map`` transforms params before the loss (the back-constrained
+    family's X = K_b @ W hook; see make_sharded_update_step).
 
     Returns (params, opt_state, losses).
     """
@@ -333,7 +347,8 @@ def train_adam_sharded(
     if opt_state is None:
         opt_state = optimizer.init(params)
     step = make_sharded_update_step(
-        ctx, optimizer, train_cfg.balance, trainable_mask(cfg, mode)
+        ctx, optimizer, train_cfg.balance, trainable_mask(cfg, mode),
+        latent_map=latent_map,
     )
     Y_padded = pad_Y(jnp.asarray(Y, dtype=jnp.dtype(cfg.dtype)), ctx)
 

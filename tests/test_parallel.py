@@ -254,3 +254,42 @@ def test_sharded_nll_matches_on_class_aware_mesh(model):
     ctx = make_context(m.config, m.layout, mesh)
     got = nll_sharded(m.params, pad_Y(Y, ctx), ctx)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
+def test_bc_sharded_training_matches_single_device():
+    """The back-constrained family trains on the mesh via the latent_map
+    hook (X = K_b @ W inside the sharded loss): losses match the
+    single-device BC trainer."""
+    import dataclasses
+
+    from gpmdm_tpu.models import back_constrained as bc
+    from gpmdm_tpu.models.back_constrained import BCGPMDM
+    from gpmdm_tpu.train.trainer import train_adam
+
+    train_seqs, train_labels, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=20, D=9, seed=12
+    )
+    m = BCGPMDM(D=9, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(train_seqs, train_labels):
+        m.add_data(Y, c)
+    m.init_X()
+    Y = m.get_Y()
+    Kb = bc.back_kernel(Y, Y, m.config.back_constraint_ls, jnp.float64)
+    latent_map = lambda p: dataclasses.replace(  # noqa: E731
+        p, X=jnp.matmul(Kb, p.X, precision=jax.lax.Precision.HIGHEST)
+    )
+    params_w = dataclasses.replace(m.params, X=m._W)
+    mesh = make_train_mesh(8, n_classes=2)
+    tc = TrainConfig(num_steps=5, lr=0.01)
+    p_sh, _, losses_sh = train_adam_sharded(
+        params_w, Y, m.config, m.layout, mesh, tc, latent_map=latent_map
+    )
+    res = train_adam(
+        params_w, Y, m.config, m.layout, tc, kind="bc"
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_sh), np.asarray(res.losses), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sh.X), np.asarray(res.params.X), rtol=1e-7, atol=1e-9
+    )

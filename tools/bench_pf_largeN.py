@@ -1,0 +1,137 @@
+"""PF throughput + accuracy in the scale-N regimes (VERDICT r2 #2, #3).
+
+Three datapoint families the headline bench (Ntrain=480) never covers:
+
+- exact-GP PF at Ny in {2048, 5120} — where the O(N^2 P) variance-quad
+  contraction dominates the frame budget,
+- the same models deployed through the compressed posterior
+  (models/compressed.py, O(N q P) quad) at the spectrally-selected rank,
+- sparse-SGPR PF (SparsePosterior through the same pf_scan) at Ny=10240,
+  M=128 — the "hour-long sequences" BASELINE regime.
+
+Every row carries a banked-eval accuracy guard on held-out labeled trials
+(same filter config), so a fast-but-wrong configuration cannot report a
+win.  Assets come from tools/train_bench_assets.py (committed).
+
+Usage: python tools/bench_pf_largeN.py [--configs n2048,n5120,sparse10240]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+P, T_FRAMES, D = 10_000, 500, 35
+
+# config name -> (family, n_train_seqs/class, seq_len)  [must match
+# tools/train_bench_assets.py so the held-out guard trials are the right
+# distribution]
+SHAPES = {
+    "n2048": ("exact", 16, 64),
+    "n5120": ("exact", 32, 80),
+    "sparse10240": ("sparse", 64, 80),
+}
+
+
+def time_scan(scan, state, Z, post, params, reps=3):
+    _, outs = scan(state, Z, post, params)
+    jax.block_until_ready(outs.class_probs)
+    wall = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs = scan(state, Z, post, params)
+        jax.block_until_ready(outs.class_probs)
+        wall = min(wall, time.perf_counter() - t0)
+    return wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="n2048,n5120,sparse10240")
+    ap.add_argument("--particles", type=int, default=P)
+    args = ap.parse_args()
+
+    from gpmdm_tpu import GPMDM, PFConfig, SparseGPMDM
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.filter import particle_filter as pf
+    from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+
+    pfc = PFConfig(num_particles=args.particles)
+    T_mat = [[0.9, 0.1], [0.1, 0.9]]
+
+    for name in args.configs.split(","):
+        family, n_seqs, seq_len = SHAPES[name]
+        path = os.path.join(REPO, "bench_assets", f"bench_model_{name}.npz")
+        if not os.path.exists(path):
+            print(json.dumps({"config": name, "skipped": "asset missing"}))
+            continue
+        cls = GPMDM if family == "exact" else SparseGPMDM
+        m = cls.load(path)
+        log_T = jnp.log(jnp.asarray(T_mat, dtype=m.dtype))
+        _, _, test_seqs, _ = synthetic.make_dataset(
+            n_classes=2, n_train_seqs=n_seqs, n_test_seqs=1, seq_len=seq_len,
+            D=D, seed=0,
+        )
+        _, _, q_seqs, q_labels = synthetic.make_dataset(
+            n_classes=2, n_train_seqs=n_seqs, n_test_seqs=6, seq_len=seq_len,
+            D=D, seed=0,
+        )
+        Z = np.concatenate([np.asarray(s) for s in test_seqs] * 20, axis=0)[:T_FRAMES]
+        Z = jnp.asarray(Z, dtype=m.dtype)
+
+        variants = [("exact" if family == "exact" else "sparse", m.posterior)]
+        if family == "exact":
+            cp = m.compressed_posterior()
+            variants.append((f"compressed-q{cp.Ry.shape[0]}", cp))
+
+        for label, post in variants:
+            scan = jax.jit(
+                lambda s, Z, post, params: pf.pf_scan(
+                    s, Z, post, params, log_T, m.config, pfc
+                )
+            )
+            state = pf.pf_init(
+                post, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+            )
+            t0 = time.perf_counter()
+            wall = time_scan(scan, state, Z, post, m.params)
+            compile_s = time.perf_counter() - t0 - 4 * wall
+            rep = evaluate_pf_banked(
+                m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
+                burn_in=5, seed=0, config=pfc, posterior=post,
+            )
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "variant": label,
+                        "Ny": int(m.layout.Ny),
+                        "particles": args.particles,
+                        "fps": round(T_FRAMES / wall, 1),
+                        "per_frame_ms": round(1000 * wall / T_FRAMES, 4),
+                        "frame_acc": round(rep.frame_metrics["accuracy"], 4),
+                        "frame_f1": round(rep.frame_metrics["f1"], 4),
+                        "compile_s": round(compile_s, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
