@@ -205,6 +205,49 @@ def main() -> None:
         d4_acc = rep4.frame_metrics["accuracy"]
         d4_f1 = rep4.frame_metrics["f1"]
 
+    # secondary metric: the 8-class EP-scale config (4x the classes, 2x
+    # the training frames of the headline; per-class-signature synthetic
+    # task, tools/bench_multiclass_pf.py protocol) — driver-visible so a
+    # regression in the multi-class path can't hide in the docs.
+    c8_fps = c8_acc = None
+    ckpt8 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_assets", "bench_model_c8.npz")
+    if os.path.exists(ckpt8):
+        m8 = GPMDM.load(ckpt8)
+        C8 = m8.n_classes
+        kw8 = dict(n_classes=C8, n_train_seqs=2, n_test_seqs=2, seq_len=60,
+                   D=m8.D, seed=21, center_spread=3.0, class_signature=1.0)
+        _, _, te8, tel8 = synthetic.make_dataset(**kw8)
+        T8 = np.full((C8, C8), 0.1 / (C8 - 1), dtype=np.float64)
+        np.fill_diagonal(T8, 0.9)
+        log_T8 = jnp.log(jnp.asarray(T8, dtype=m8.dtype))
+        Z8 = jnp.asarray(
+            np.concatenate([np.asarray(s) for s in te8] * 10, axis=0)[:N_FRAMES],
+            dtype=m8.dtype,
+        )
+        scan8 = jax.jit(
+            lambda s, Z, post, params: pf.pf_scan(
+                s, Z, post, params, log_T8, m8.config, pfc
+            )
+        )
+        state8 = pf.pf_init(
+            m8.posterior, m8.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+        )
+        _, o8 = scan8(state8, Z8, m8.posterior, m8.params)
+        jax.block_until_ready(o8.class_probs)
+        w8 = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, o8 = scan8(state8, Z8, m8.posterior, m8.params)
+            jax.block_until_ready(o8.class_probs)
+            w8 = min(w8, time.perf_counter() - t0)
+        c8_fps = N_FRAMES / w8
+        rep8 = evaluate_pf_banked(
+            m8, T8, [np.asarray(s) for s in te8], tel8, burn_in=5, seed=0,
+            config=pfc,
+        )
+        c8_acc = rep8.frame_metrics["accuracy"]
+
     # secondary metric: BASELINE's multi-filter config — 64 independent
     # banks x 1k particles streaming concurrently (dp-shardable across a
     # slice; measured here on the single available chip).
@@ -253,6 +296,8 @@ def main() -> None:
                 "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
                 "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,
                 "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
+                "c8_fps": round(c8_fps, 1) if c8_fps is not None else None,
+                "c8_frame_acc": round(float(c8_acc), 4) if c8_acc is not None else None,
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
                 "setup_s": round(time.perf_counter() - t_setup, 2),

@@ -49,11 +49,13 @@ def test_8class_ep_sharded_loss(model8):
 
 
 def test_8class_training_and_pf(model8):
-    """8-way classification accuracy >= 0.8 (6.4x chance) on the signature
+    """8-way classification accuracy > 0.82 (6.6x chance) on the signature
     task — a meaningful quality bar for the EP scale config, not just a
-    does-it-run check.  Measured 0.850-0.855 across PF seeds at this
-    config; do NOT raise the training steps — over-sharp kernels degrade
-    PF accuracy (same effect as the bench asset note)."""
+    does-it-run check.  Observed 0.840-0.855 across seeds/platforms at
+    this config, so the bar keeps a seed margin; the TPU-measured 0.88
+    lives in the bench c8 extras where the driver watches it.  Do NOT
+    raise the training steps — over-sharp kernels degrade PF accuracy
+    (same effect as the bench asset note)."""
     m, te, tel = model8
     losses = m.train_adam(num_opt_steps=150, lr=0.02)
     assert losses[-1] < losses[0]
@@ -67,4 +69,4 @@ def test_8class_training_and_pf(model8):
         pred = np.asarray(outs.most_likely_class)
         correct += (pred[10:] == label).sum()
         total += len(pred) - 10
-    assert correct / total > 0.8, correct / total
+    assert correct / total > 0.82, correct / total
