@@ -173,6 +173,28 @@ def main() -> None:
     # (test_gpmdm_pf.ipynb cell 5; BASELINE.md: >=0.90 per-frame F1)
     frame_f1 = rep.frame_metrics["f1"]
 
+    # secondary metric: the SAME headline model deployed through the
+    # low-rank compressed posterior (models/compressed.py): the quad
+    # contraction drops O(N^2 P) -> O(N q P).  Reported next to the exact
+    # headline with its own accuracy guard — adoption is arbitrated here.
+    cp = m.compressed_posterior()
+    state_cp = pf.pf_init(cp, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc)
+    _, outs_cp = scan(state_cp, Z, cp, m.params)
+    jax.block_until_ready(outs_cp.class_probs)
+    w_cp = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs_cp = scan(state_cp, Z, cp, m.params)
+        jax.block_until_ready(outs_cp.class_probs)
+        w_cp = min(w_cp, time.perf_counter() - t0)
+    comp_fps = N_FRAMES / w_cp
+    rep_cp = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Zq) for Zq in q_seqs],
+        q_labels, burn_in=5, seed=0, config=pfc, posterior=cp,
+    )
+    comp_acc = rep_cp.frame_metrics["accuracy"]
+    comp_f1 = rep_cp.frame_metrics["f1"]
+
     # secondary metric: the published problem shape (d=4, the reference's
     # train_gpmdm.ipynb cell 2 config) on a second committed asset.
     d4_fps = d4_acc = d4_f1 = None
@@ -292,6 +314,10 @@ def main() -> None:
                 # tools/fetch_cmu.py).  tests/golden pins end-to-end
                 # parity vs the actual reference implementation instead.
                 "dataset": "synthetic-2class (CMU egress blocked)",
+                "compressed_fps": round(comp_fps, 1),
+                "compressed_frame_acc": round(float(comp_acc), 4),
+                "compressed_frame_f1": round(float(comp_f1), 4),
+                "compressed_rank": int(cp.Ry.shape[0]),
                 "d4_fps": round(d4_fps, 1) if d4_fps is not None else None,
                 "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
                 "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,

@@ -173,6 +173,20 @@ class PFConfig:
     resampling: str = "systematic"
     compat_double_logdet: bool = False
     accumulate_weights: bool = False
+    # Include the trained observation noise sigma_n^2 in the weight
+    # likelihood's variance.  The generative model is z = f(x) + eps, so
+    # the correct p(z|x) integrates eps; the reference evaluates
+    # map_x_to_y with flg_noise=False (gpmdm_pf.py:183, gpmdm.py:924
+    # default), i.e. it scores observations against the noise-free
+    # function posterior.  Like the other fixed quirks (balance_fix,
+    # compat_double_logdet) the default here is the CORRECT behavior;
+    # set False for reference parity (golden tests do).  Measured effect
+    # (500 particles, CPU): exact headline asset 0.82 -> 1.00 frame
+    # accuracy; sparse Ny=10240 asset 0.57 -> 0.99 — densely-trained
+    # models' posterior variance at on-manifold points collapses below
+    # the real residual scale and the noise term restores an honest
+    # likelihood.  docs/BENCHMARKS.md round 3.
+    obs_noise_in_weights: bool = True
     precision: str = "high"
     pallas: str = "auto"
     resample_threshold: float = 1.0

@@ -430,14 +430,19 @@ def pf_step(
             jnp.exp(2.0 * params.y_log_lambdas),
             mxu_precision=pf_cfg.lax_precision,
         )
-        diag = _K.y_diag_kernel(x_new, params.y_log_sigma_n, cfg.sigma_n_num_Y, False)
+        diag = _K.y_diag_kernel(
+            x_new, params.y_log_sigma_n, cfg.sigma_n_num_Y,
+            pf_cfg.obs_noise_in_weights,
+        )
         var_c = jnp.maximum(diag - quad, 1e-12)
         coeff = 1.0 if pf_cfg.compat_double_logdet else 0.5
         logdet = cfg.D * jnp.log(var_c) - 2.0 * jnp.sum(params.y_log_lambdas)
         log_lik = -0.5 * qres / var_c - coeff * logdet - 0.5 * cfg.D * _LOG_2PI
     else:
         mean_y, var_y = predict_y(
-            post, params, x_new, cfg, precision=pf_cfg.lax_precision,
+            post, params, x_new, cfg,
+            with_noise=pf_cfg.obs_noise_in_weights,
+            precision=pf_cfg.lax_precision,
             quad_precision=pf_cfg.lax_quad_precision,
         )  # (P, D)
         var_y = jnp.maximum(var_y, 1e-12)

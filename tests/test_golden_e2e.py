@@ -91,6 +91,10 @@ def _evaluate(m, te, tel, golden, seed):
         num_particles=pf_cfg["particles"],
         resampling=pf_cfg["resampling"],
         compat_double_logdet=pf_cfg["compat_double_logdet"],
+        # reference parity: the reference never adds sigma_n^2 to the
+        # weight variance (gpmdm_pf.py:183); the library default is the
+        # statistically-correct True
+        obs_noise_in_weights=False,
     )
     flt = GPMDM_PF(
         m, pf_cfg["T"], num_particles=pf_cfg["particles"], config=pfc, seed=seed

@@ -136,7 +136,13 @@ def test_step_and_scan_agree(trained_model):
         step_probs.append(np.asarray(out.class_probs))
 
     _, outs = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
-    np.testing.assert_allclose(np.asarray(outs.class_probs), np.stack(step_probs), rtol=1e-8)
+    # atol floors out denormal-magnitude class probs (~1e-100): the scan
+    # and per-step jits fuse differently, and a 1e-4 RELATIVE difference
+    # on a probability that small is numerically meaningless
+    np.testing.assert_allclose(
+        np.asarray(outs.class_probs), np.stack(step_probs), rtol=1e-8,
+        atol=1e-30,
+    )
 
 
 def test_step_and_scan_agree_above_pregen_gate(trained_model):

@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--particles", type=int, nargs="+",
                     default=[1000, 3000, 10_000, 30_000, 100_000])
     ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--compressed", action="store_true",
+                    help="deploy the low-rank compressed posterior "
+                         "(models/compressed.py) instead of the exact one")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +48,7 @@ def main() -> None:
         dtype=m.dtype,
     )
     log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=m.dtype))
+    post = m.compressed_posterior() if args.compressed else m.posterior
 
     for P in args.particles:
         pfc = PFConfig(num_particles=P)
@@ -54,18 +58,19 @@ def main() -> None:
             )
         )
         state = pf.pf_init(
-            m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+            post, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
         )
-        _, outs = scan(state, Z, m.posterior, m.params)
+        _, outs = scan(state, Z, post, m.params)
         jax.block_until_ready(outs.class_probs)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _, outs = scan(state, Z, m.posterior, m.params)
+            _, outs = scan(state, Z, post, m.params)
             jax.block_until_ready(outs.class_probs)
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({
             "particles": P,
+            "posterior": "compressed" if args.compressed else "exact",
             "fps": round(args.frames / best, 1),
             "ms_per_frame": round(best / args.frames * 1e3, 4),
             "device": str(jax.devices()[0]),

@@ -123,6 +123,7 @@ def eval_ours(m, te, tel, seed: int) -> dict:
         num_particles=N_PARTICLES,
         resampling="multinomial",
         compat_double_logdet=True,
+        obs_noise_in_weights=False,
     )
     flt = GPMDM_PF(m, T_MATRIX, num_particles=N_PARTICLES, config=pfc, seed=seed)
     frame_pred, frame_true, trial_pred, trial_true = [], [], [], []

@@ -156,5 +156,100 @@ def main() -> None:
         prev1, prevB = ms1, msB
 
 
+
+
+def micro_resample(args=None):
+    """Isolate the banked resample halves: indices-only vs gather-only vs
+    both, at the same (B, P).  Invoked via --micro."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--banks", type=int, default=12)
+    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(args)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    import time
+
+    import jax.numpy as jnp
+
+    from gpmdm_tpu import GPMDM, PFConfig
+    from gpmdm_tpu.filter import particle_filter as pf
+
+    m = GPMDM.load(REPO / "bench_assets" / "bench_model.npz")
+    pfc = PFConfig(num_particles=args.particles)
+    P, B, T = args.particles, args.banks, args.frames
+    sB = pf.pf_init_bank(m.posterior, m.layout.y_class_offsets,
+                         jax.random.PRNGKey(1), pfc, B)
+    d = m.d
+
+    def make(level):
+        # every step's weights/states depend on the carry, so XLA cannot
+        # hoist the resample out of the scan (the first draft measured
+        # all-zeros: constant log_w made the whole loop body invariant)
+        def step(state, _):
+            key, k_w, k_res = jax.random.split(state.key, 3)
+            log_w = state.log_w + 0.05 * jax.random.normal(
+                k_w, state.log_w.shape, dtype=state.log_w.dtype
+            )
+            log_w = log_w - jax.scipy.special.logsumexp(log_w)
+            x_new = state.x
+            if level in ("idx", "both"):
+                idx = pf.systematic_resample_indices(k_res, log_w)
+            else:
+                idx = jnp.arange(P, dtype=jnp.int32)
+            if level in ("gather", "both"):
+                packed = jnp.concatenate(
+                    [state.x, state.x_prev,
+                     state.c.astype(state.x.dtype)[:, None]], axis=1
+                )
+                packed = packed[idx]
+                x_new = packed[:, :d] * 1.000001
+            out = jnp.sum(x_new) + idx[0]
+            return pf.PFState(x=x_new, x_prev=state.x, c=state.c,
+                              log_w=log_w, log_lik=state.log_lik,
+                              key=key), out
+
+        return step
+
+    import numpy as np
+
+    def timed(fn, s):
+        f = jax.jit(fn)
+        _, o = f(s, None)
+        jax.block_until_ready(o)
+        best = np.inf
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            _, o = f(s, None)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    print(f"micro-resample B={B} P={P} T={T}")
+    for level in ("none", "idx", "gather", "both"):
+        step = make(level)
+        msB = 1000 * timed(
+            lambda s, _: jax.vmap(
+                lambda a: jax.lax.scan(step, a, None, length=T)
+            )(s), sB,
+        ) / (B * T)
+        s1 = jax.tree.map(lambda a: a[0], sB)
+        ms1 = 1000 * timed(
+            lambda s, _: jax.lax.scan(step, s, None, length=T), s1
+        ) / T
+        print(f"{level:>8}: single {ms1:7.4f}  bank {msB:7.4f} ms/bank-frame")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--micro" in _sys.argv:
+        _sys.argv.remove("--micro")
+        micro_resample()
+    else:
+        main()
