@@ -334,3 +334,29 @@ def test_pf_nondefault_dynamics_modes(dyn_target, back_step):
         correct += (pred[5:] == label).sum()
         total += len(pred) - 5
     assert correct / total > 0.7, (dyn_target, back_step, correct / total)
+
+
+def test_packed_gather_custom_vmap_matches_loop():
+    """The bank-aware flat-gather batching rule produces exactly the
+    per-bank gathers it replaces, for every in_batched combination."""
+    rs = np.random.RandomState(0)
+    B, P, W = 3, 17, 5
+    packed = jnp.asarray(rs.randn(B, P, W))
+    idx = jnp.asarray(np.sort(rs.randint(0, P, size=(B, P)), axis=1).astype(np.int32))
+    # both batched
+    got = jax.vmap(pf._packed_gather)(packed, idx)
+    want = jnp.stack([packed[b][idx[b]] for b in range(B)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # only indices batched (shared particle array)
+    got2 = jax.vmap(pf._packed_gather, in_axes=(None, 0))(packed[0], idx)
+    want2 = jnp.stack([packed[0][idx[b]] for b in range(B)])
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+    # only particles batched (shared indices)
+    got3 = jax.vmap(pf._packed_gather, in_axes=(0, None))(packed, idx[0])
+    want3 = jnp.stack([packed[b][idx[0]] for b in range(B)])
+    np.testing.assert_array_equal(np.asarray(got3), np.asarray(want3))
+    # unbatched == plain gather
+    np.testing.assert_array_equal(
+        np.asarray(pf._packed_gather(packed[0], idx[0])),
+        np.asarray(packed[0][idx[0]]),
+    )
