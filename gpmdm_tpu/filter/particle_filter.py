@@ -341,6 +341,38 @@ def _packed_gather_vmap(axis_size, in_batched, packed, idx):
     return flat.reshape((B, P) + packed.shape[2:]), True
 
 
+#: Training-set size beyond which the exact posterior's f32 'high'-precision
+#: quad matmul has a MEASURED accuracy collapse (Ny=5120: 0.547 frame
+#: accuracy vs 1.000 for quad_precision='highest' or the compressed
+#: posterior; docs/DEPLOY.md, docs/BENCHMARKS.md round 3).
+_EXACT_QUAD_SAFE_N = 4096
+
+
+def warn_if_unsafe_exact(post, pf_cfg: PFConfig) -> None:
+    """Warn when an exact posterior is deployed in the filter at a size
+    where the default MXU precision is known to break classification."""
+    import warnings
+
+    if (
+        isinstance(post, core.Posterior)
+        and post.X.shape[0] > _EXACT_QUAD_SAFE_N
+        and pf_cfg.precision != "highest"
+        and pf_cfg.quad_precision != "highest"
+        and jnp.dtype(post.X.dtype) != jnp.dtype(jnp.float64)
+    ):
+        warnings.warn(
+            f"exact GP posterior with Ny={post.X.shape[0]} > "
+            f"{_EXACT_QUAD_SAFE_N} at MXU precision "
+            f"'{pf_cfg.precision}': the variance-quad matmul's f32 error "
+            "measurably breaks classification at this scale (0.547 frame "
+            "accuracy at Ny=5120).  Use model.compressed_posterior() "
+            "(10.8x faster than the 'highest'-precision fix at the same "
+            "accuracy) or PFConfig(quad_precision='highest').  See "
+            "docs/DEPLOY.md.",
+            stacklevel=3,
+        )
+
+
 def pf_step(
     state: PFState,
     z: jax.Array,
@@ -803,6 +835,7 @@ class GPMDM_PF:
         # argument, so building a second filter (or one per trial, as eval
         # loops do) never recompiles.
         self._jit_step, self._jit_scan = _instance_jits(gpmdm.config, self.pf_config)
+        warn_if_unsafe_exact(self._post, self.pf_config)
         self.reset()
 
     # ------------------------------------------------------------------ api

@@ -203,6 +203,7 @@ def evaluate_pf_banked(
         pfc = PFConfig(num_particles=num_particles or 100)
     log_T = jnp.log(jnp.asarray(T_matrix, dtype=model.dtype))
     post = posterior if posterior is not None else model.posterior
+    pf.warn_if_unsafe_exact(post, pfc)
 
     lengths = [len(Z) for Z in test_seqs]
     T_pad = pf.bucket_length(max(lengths))

@@ -78,3 +78,24 @@ class StageTimer:
 
 def throughput(n_items: int, wall_s: float) -> float:
     return n_items / wall_s if wall_s > 0 else float("inf")
+
+
+def warm_transport() -> float:
+    """Initialize the device->host transfer path; returns the wait in
+    seconds.
+
+    On remote-TPU transports (the axon tunnel), ``jax.block_until_ready``
+    is a NO-OP until the process's first device->host fetch initializes
+    the path — timings taken before that measure dispatch enqueue
+    (~0.2 ms), not compute, and the first fetch itself can take 2-450 s.
+    Call this (or run it in a thread, as bench.py does) before any
+    measurement loop.  Instant on local backends.
+    """
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((1,), dtype=jnp.float32) + 0)
+    return time.perf_counter() - t0

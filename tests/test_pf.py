@@ -360,3 +360,34 @@ def test_packed_gather_custom_vmap_matches_loop():
         np.asarray(pf._packed_gather(packed[0], idx[0])),
         np.asarray(packed[0][idx[0]]),
     )
+
+
+def test_unsafe_exact_warning():
+    """Deploying a large-Ny f32 exact posterior at default precision warns
+    (the measured Ny=5120 accuracy collapse); f64, small-N, compressed,
+    and 'highest'-precision configs stay silent."""
+    import warnings
+
+    import dataclasses as dc
+
+    from gpmdm_tpu.models import compressed as comp
+
+    # minimal fake exact posterior: only X's shape/dtype are inspected
+    small = jnp.zeros((100, 2), dtype=jnp.float32)
+    big = jnp.zeros((5000, 2), dtype=jnp.float32)
+    big64 = jnp.zeros((5000, 2), dtype=jnp.float64)
+
+    def fake_post(X):
+        kw = {f.name: X for f in dc.fields(core.Posterior)}
+        return core.Posterior(**kw)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pf.warn_if_unsafe_exact(fake_post(small), PFConfig())
+        pf.warn_if_unsafe_exact(fake_post(big64), PFConfig())
+        pf.warn_if_unsafe_exact(fake_post(big), PFConfig(quad_precision="highest"))
+        pf.warn_if_unsafe_exact(fake_post(big), PFConfig(precision="highest"))
+        kw = {f.name: big for f in dc.fields(comp.CompressedPosterior)}
+        pf.warn_if_unsafe_exact(comp.CompressedPosterior(**kw), PFConfig())
+    with pytest.warns(UserWarning, match="compressed_posterior"):
+        pf.warn_if_unsafe_exact(fake_post(big), PFConfig())
