@@ -162,6 +162,7 @@ def evaluate_pf_banked(
     mesh=None,
     logger=None,
     posterior=None,
+    max_banks: Optional[int] = None,
 ) -> EvalReport:
     """Evaluate ALL trials in one compiled dispatch.
 
@@ -176,6 +177,18 @@ def evaluate_pf_banked(
     axis across devices (parallel.pf_scan_bank_sharded_masked) —
     multi-chip evaluation with zero collectives.  ``posterior`` overrides
     the model's own posterior (e.g. ``model.compressed_posterior(...)``).
+    Unlike ``GPMDM_PF``, ``None`` here means the model's OWN posterior —
+    measurement code must not have its configuration silently swapped;
+    pass ``resolve_posterior(model, 'auto')`` for the deployment policy
+    (the CLI eval does).
+
+    ``max_banks`` caps how many filters run per device dispatch (non-mesh
+    path): the banked per-class kernel tensor is (B, C, n_max, P) floats —
+    at C=8, n_max=632, P=10k each bank costs ~0.4 GB of HLO temp, so a
+    48-trial guard set overflows a 16 GB chip.  Chunks are padded to
+    exactly ``max_banks`` rows (invalid, sliced off), so every chunk
+    reuses ONE compiled executable; per-trial RNG streams depend on the
+    chunking (documented — banked streams already differ from looped).
 
     Measured (tools/bench_banked_eval.py, one v5e, 12 trials, warm):
     banked is faster at every filter size — 1.7x at P=100 (the
@@ -243,6 +256,32 @@ def evaluate_pf_banked(
             model.config, pfc, mesh,
         )
         preds_all = np.asarray(outs.most_likely_class)[:B]
+        wall = time.perf_counter() - t0
+    elif max_banks is not None and B > max_banks:
+        # chunked: pad every chunk to exactly max_banks rows so ONE
+        # compiled executable serves them all; invalid rows are no-ops
+        scan = pf._banked_scan_jit(model.config, pfc)
+        Bc = max_banks
+        t0 = time.perf_counter()
+        pred_chunks = []
+        for j, lo in enumerate(range(0, B, Bc)):
+            hi = min(lo + Bc, B)
+            Zc = Zb[lo:hi]
+            vc = valid_j[lo:hi]
+            if hi - lo < Bc:
+                Zc = jnp.concatenate(
+                    [Zc, jnp.zeros((Bc - (hi - lo), T_pad, model.D), dtype=Zc.dtype)]
+                )
+                vc = jnp.concatenate(
+                    [vc, jnp.zeros((Bc - (hi - lo), T_pad), dtype=bool)]
+                )
+            states_c = pf.pf_init_bank(
+                post, model.layout.y_class_offsets,
+                jax.random.fold_in(jax.random.PRNGKey(seed), j), pfc, Bc,
+            )
+            _, outs = scan(states_c, Zc, vc, post, model.params, log_T)
+            pred_chunks.append(np.asarray(outs.most_likely_class)[: hi - lo])
+        preds_all = np.concatenate(pred_chunks, axis=0)  # (B, T_pad)
         wall = time.perf_counter() - t0
     else:
         # module-level jit cache keyed on (cfg, pf_cfg): repeated

@@ -243,6 +243,36 @@ def test_evaluate_pf_banked_matches_looped_quality():
     )
 
 
+def test_evaluate_pf_banked_chunked():
+    """``max_banks`` chunking: same frame totals and quality regime as the
+    single-dispatch path (per-trial RNG streams differ by chunk layout),
+    with a ragged final chunk padded to the shared executable's width."""
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+
+    m = small_model()
+    m.train_adam(num_opt_steps=40, lr=0.02)
+    _, _, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=3, seq_len=25, D=8, seed=3
+    )
+    te = [np.asarray(Z) for Z in te]  # 6 trials -> chunks of 4 + 2(padded)
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    full = evaluate_pf_banked(
+        m, T, te, tel, num_particles=64, burn_in=3, seed=0
+    )
+    chunked = evaluate_pf_banked(
+        m, T, te, tel, num_particles=64, burn_in=3, seed=0, max_banks=4
+    )
+    assert chunked.total_frames == full.total_frames
+    assert chunked.frame_confusion.sum() == full.frame_confusion.sum()
+    assert chunked.frame_metrics["accuracy"] > 0.8
+    # max_banks >= B falls through to the one-dispatch path: identical
+    same = evaluate_pf_banked(
+        m, T, te, tel, num_particles=64, burn_in=3, seed=0, max_banks=16
+    )
+    np.testing.assert_array_equal(same.frame_confusion, full.frame_confusion)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """The Orbax train-state backend restores params/opt-state/step/losses
     bit-identically and resumes to the same trajectory as the .npz backend."""

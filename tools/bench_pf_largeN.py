@@ -38,13 +38,23 @@ import numpy as np  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 P, T_FRAMES, D = 10_000, 500, 35
 
-# config name -> (family, n_train_seqs/class, seq_len)  [must match
-# tools/train_bench_assets.py so the held-out guard trials are the right
-# distribution]
+# config name -> dict [must match tools/train_bench_assets.py so the
+# held-out guard trials are the right distribution].  guard_len overrides
+# the test-trial length (the class-cycle parameters are deterministic in
+# the class index, so shorter guard trials draw from the same
+# distribution — needed for the 27k-frame hour-long config).
 SHAPES = {
-    "n2048": ("exact", 16, 64),
-    "n5120": ("exact", 32, 80),
-    "sparse10240": ("sparse", 64, 80),
+    "n2048": dict(family="exact", n_seqs=16, seq_len=64),
+    "n5120": dict(family="exact", n_seqs=32, seq_len=80),
+    "sparse10240": dict(family="sparse", n_seqs=64, seq_len=80),
+    # guard_banks: the 48-trial banked guard's per-class kernel tensor is
+    # (B, C, n_max, P) — ~0.4 GB/bank at this shape; chunk to fit HBM
+    "c8n5120": dict(family="exact", n_seqs=8, seq_len=80, C=8, D=10,
+                    guard_banks=16,
+                    data=dict(center_spread=3.0, class_signature=1.0,
+                              seed=21)),
+    "hourlong": dict(family="sparse", n_seqs=2, seq_len=27_000,
+                     guard_len=600),
 }
 
 
@@ -72,26 +82,35 @@ def main() -> None:
     from gpmdm_tpu.utils.metrics import evaluate_pf_banked
 
     pfc = PFConfig(num_particles=args.particles)
-    T_mat = [[0.9, 0.1], [0.1, 0.9]]
 
     for name in args.configs.split(","):
-        family, n_seqs, seq_len = SHAPES[name]
+        shape = SHAPES[name]
+        family, n_seqs, seq_len = shape["family"], shape["n_seqs"], shape["seq_len"]
+        C = shape.get("C", 2)
+        Dd = shape.get("D", D)
+        data_kw = shape.get("data", dict(seed=0))
+        guard_len = shape.get("guard_len", seq_len)
         path = os.path.join(REPO, "bench_assets", f"bench_model_{name}.npz")
         if not os.path.exists(path):
             print(json.dumps({"config": name, "skipped": "asset missing"}))
             continue
         cls = GPMDM if family == "exact" else SparseGPMDM
         m = cls.load(path)
+        T_mat = np.full((C, C), 0.1 / (C - 1), dtype=np.float64)
+        np.fill_diagonal(T_mat, 0.9)
         log_T = jnp.log(jnp.asarray(T_mat, dtype=m.dtype))
         _, _, test_seqs, _ = synthetic.make_dataset(
-            n_classes=2, n_train_seqs=n_seqs, n_test_seqs=1, seq_len=seq_len,
-            D=D, seed=0,
+            n_classes=C, n_train_seqs=1, n_test_seqs=1, seq_len=guard_len,
+            D=Dd, **data_kw,
         )
         _, _, q_seqs, q_labels = synthetic.make_dataset(
-            n_classes=2, n_train_seqs=n_seqs, n_test_seqs=6, seq_len=seq_len,
-            D=D, seed=0,
+            n_classes=C, n_train_seqs=1, n_test_seqs=6, seq_len=guard_len,
+            D=Dd, **data_kw,
         )
-        Z = np.concatenate([np.asarray(s) for s in test_seqs] * 20, axis=0)[:T_FRAMES]
+        Z = np.concatenate(
+            [np.asarray(s) for s in test_seqs] * (T_FRAMES // guard_len + 1),
+            axis=0,
+        )[:T_FRAMES]
         Z = jnp.asarray(Z, dtype=m.dtype)
 
         variants = [("exact" if family == "exact" else "sparse", m.posterior)]
@@ -111,26 +130,26 @@ def main() -> None:
             t0 = time.perf_counter()
             wall = time_scan(scan, state, Z, post, m.params)
             compile_s = time.perf_counter() - t0 - 4 * wall
-            rep = evaluate_pf_banked(
-                m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
-                burn_in=5, seed=0, config=pfc, posterior=post,
-            )
-            print(
-                json.dumps(
-                    {
-                        "config": name,
-                        "variant": label,
-                        "Ny": int(m.layout.Ny),
-                        "particles": args.particles,
-                        "fps": round(T_FRAMES / wall, 1),
-                        "per_frame_ms": round(1000 * wall / T_FRAMES, 4),
-                        "frame_acc": round(rep.frame_metrics["accuracy"], 4),
-                        "frame_f1": round(rep.frame_metrics["f1"], 4),
-                        "compile_s": round(compile_s, 1),
-                    }
-                ),
-                flush=True,
-            )
+            row = {
+                "config": name,
+                "variant": label,
+                "Ny": int(m.layout.Ny),
+                "particles": args.particles,
+                "fps": round(T_FRAMES / wall, 1),
+                "per_frame_ms": round(1000 * wall / T_FRAMES, 4),
+                "compile_s": round(compile_s, 1),
+            }
+            try:
+                rep = evaluate_pf_banked(
+                    m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
+                    burn_in=5, seed=0, config=pfc, posterior=post,
+                    max_banks=shape.get("guard_banks"),
+                )
+                row["frame_acc"] = round(rep.frame_metrics["accuracy"], 4)
+                row["frame_f1"] = round(rep.frame_metrics["f1"], 4)
+            except Exception as e:  # keep the timing row on guard failure
+                row["guard_error"] = f"{type(e).__name__}: {e}"[:200]
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

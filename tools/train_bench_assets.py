@@ -37,6 +37,16 @@ CONFIGS = {
     "n2048": ("exact", 16, 64, 200, {}),
     "n5120": ("exact", 32, 80, 150, {}),
     "sparse10240": ("sparse", 64, 80, 300, {"m_y": 128, "m_x": 128}),
+    # BASELINE config 3 at its literal scale: 8 classes x N~5k (the
+    # signature task, tools/bench_multiclass_pf.py DATA_KW shape)
+    "c8n5120": ("exact", 8, 80, 120,
+                {"C": 8, "D": 10, "d": 3,
+                 "data": {"center_spread": 3.0, "class_signature": 1.0,
+                          "seed": 21}}),
+    # BASELINE config 4 at its literal scale: "hour-long sequences" —
+    # 2 classes x 2 sequences x 27,000 frames = 108k training frames
+    # (an hour at 30 fps), trainable only by the sparse family
+    "hourlong": ("sparse", 2, 27_000, 200, {"m_y": 128, "m_x": 128}),
 }
 
 
@@ -44,43 +54,91 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, choices=sorted(CONFIGS))
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--f64-cpu", action="store_true",
+                    help="train in float64 on CPU (stable Cholesky for "
+                         "configs whose f32 TPU training NaNs), then save "
+                         "a float32-config checkpoint for TPU deployment")
+    ap.add_argument("--jitter", type=float, default=0.0,
+                    help="sigma_n_num_{Y,X} numerical-noise floor: bounds "
+                         "the trained Gram's condition so f32 TPU training "
+                         "survives hyperparameter drift (the NaN-freeze "
+                         "cliff is a failed f32 Cholesky)")
     args = ap.parse_args()
+    if args.f64_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     family, n_seqs, seq_len, steps, extra = CONFIGS[args.config]
     if args.steps is not None:
         steps = args.steps
 
     from gpmdm_tpu.data import synthetic
 
-    D, d, C = 35, 2, 2
+    D = extra.get("D", 35)
+    d = extra.get("d", 2)
+    C = extra.get("C", 2)
     tr, lb, _, _ = synthetic.make_dataset(
         n_classes=C, n_train_seqs=n_seqs, n_test_seqs=1, seq_len=seq_len,
-        D=D, seed=0,
+        D=D, **extra.get("data", {"seed": 0}),
     )
     Ny = sum(len(Y) for Y in tr)
     print(f"[{args.config}] family={family} Ny={Ny} steps={steps}", flush=True)
 
     t0 = time.time()
-    if family == "exact":
-        from gpmdm_tpu import GPMDM
+    train_dtype = "float64" if args.f64_cpu else "float32"
 
-        m = GPMDM(
-            D=D, d=d, n_classes=C, dtype="float32",
-            y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    def build(dtype):
+        jit_kw = (
+            {"sigma_n_num_Y": args.jitter, "sigma_n_num_X": args.jitter}
+            if args.jitter > 0.0
+            else {}
         )
-    else:
-        from gpmdm_tpu import SparseGPMDM
+        if family == "exact":
+            from gpmdm_tpu import GPMDM
 
-        m = SparseGPMDM(
-            D=D, d=d, n_classes=C, dtype="float32",
-            y_sigma_n_init=0.1, x_sigma_n_init=0.1,
-            n_inducing_y=extra["m_y"], n_inducing_x=extra["m_x"],
-        )
-    for Y, c in zip(tr, lb):
-        m.add_data(Y, c)
+            mm = GPMDM(
+                D=D, d=d, n_classes=C, dtype=dtype,
+                y_sigma_n_init=0.1, x_sigma_n_init=0.1, **jit_kw,
+            )
+        else:
+            from gpmdm_tpu import SparseGPMDM
+
+            mm = SparseGPMDM(
+                D=D, d=d, n_classes=C, dtype=dtype,
+                y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+                n_inducing_y=extra["m_y"], n_inducing_x=extra["m_x"], **jit_kw,
+            )
+        for Y, c in zip(tr, lb):
+            mm.add_data(Y, c)
+        return mm
+
+    m = build(train_dtype)
     m.init_X()
-    losses = m.train_adam(num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=0.01)
+    losses = m.train_adam(num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr)
     out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
-    m.save(out)
+    if args.f64_cpu:
+        # rebuild as a float32-config model for TPU deployment: the npz
+        # load casts params to the saved config dtype, so the f64-trained
+        # parameters deploy at f32 with the host-f64 posterior precompute
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        m32 = build("float32")
+        m32.layout = m32._build_layout()
+        m32.params = type(m.params)(
+            **{
+                f.name: jnp.asarray(
+                    np.asarray(getattr(m.params, f.name), dtype=np.float64),
+                    dtype=jnp.float32,
+                )
+                for f in _dc.fields(m.params)
+            }
+        )
+        m32._precompute_kernel_inverses()
+        m32.save(out)
+    else:
+        m.save(out)
     print(
         f"[{args.config}] trained in {time.time() - t0:.0f}s "
         f"(loss {losses[0]:.3e} -> {losses[-1]:.3e}), saved {out}",
