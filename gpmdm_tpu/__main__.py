@@ -32,9 +32,12 @@ def _cmd_view(args) -> int:
     return 0
 
 
-def _load_dataset(args):
+def _load_dataset(args, D=None, C=None):
     """CMU walk/run (reference experiment config: 35 DOFs, 120->30 fps) when
-    the mocap dir exists, else the synthetic limit-cycle stand-in."""
+    the mocap dir exists, else the synthetic limit-cycle stand-in.
+
+    ``D``/``C`` pin the synthetic fallback's observation dims / class count
+    (eval passes the loaded model's so the trials match its shapes)."""
     from .data import registry, synthetic
     from .data.joints import WALKING_SIMPLIFIED_JOINTS
 
@@ -56,10 +59,12 @@ def _load_dataset(args):
         print(f"CMU walk/run: {len(train)} train / {len(test)} test trials, D={D}")
         return train, test, D
     print("mocap data not found; using synthetic limit cycles")
+    D = D or 12
     tr_s, tr_l, te_s, te_l = synthetic.make_dataset(
-        n_classes=2, n_train_seqs=4, n_test_seqs=6, seq_len=80, D=12, seed=0
+        n_classes=C or 2, n_train_seqs=4, n_test_seqs=6, seq_len=80, D=D,
+        seed=0,
     )
-    return list(zip(tr_s, tr_l)), list(zip(te_s, te_l)), 12
+    return list(zip(tr_s, tr_l)), list(zip(te_s, te_l)), D
 
 
 def _cmd_train(args) -> int:
@@ -106,14 +111,28 @@ def _cmd_eval(args) -> int:
     from .utils.metrics import evaluate_pf, evaluate_pf_banked
 
     model = GPMDM.load(args.ckpt)
-    _, test, _ = _load_dataset(args)
-    T = [[0.9, 0.1], [0.1, 0.9]]
+    _, test, _ = _load_dataset(args, D=model.D, C=model.n_classes)
+    C = model.n_classes
+    T = np.full((C, C), 0.1 / max(C - 1, 1))
+    np.fill_diagonal(T, 0.9)
     seqs = [np.asarray(Z) for Z, _ in test]
     labels = [c for _, c in test]
-    post = None
-    if args.compressed or args.compress_rank:
-        rank = args.compress_rank or None
-        post = model.compressed_posterior(rank_y=rank, rank_x=rank)
+    from .filter.particle_filter import resolve_posterior
+
+    if args.compress_rank:
+        post = model.compressed_posterior(
+            rank_y=args.compress_rank, rank_x=args.compress_rank
+        )
+    else:
+        # deployment policy (docs/DEPLOY.md): auto-compress past
+        # AUTO_COMPRESS_N unless --exact pins the reference semantics
+        mode = (
+            "compressed" if args.compressed
+            else "exact" if args.exact
+            else "auto"
+        )
+        post = resolve_posterior(model, mode)
+    if hasattr(post, "Ry"):
         q = post.Ry.shape[0]
         print(f"compressed posterior: quad rank {q}/{model.layout.Ny}")
     if args.banked:
@@ -137,7 +156,7 @@ def _cmd_eval(args) -> int:
         )
         report = evaluate_pf(
             flt, seqs, labels,
-            n_classes=2,
+            n_classes=C,
             burn_in=args.burn_in,
             logger=_make_logger(args),
         )
@@ -203,6 +222,18 @@ def _cmd_demo(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # Deployment platform pin.  The env var must be honored HERE because a
+    # sitecustomize that registers a TPU plugin at interpreter start makes
+    # jax ignore JAX_PLATFORMS itself (see CLAUDE.md); jax.config is the
+    # only override that still works after that.
+    plat = os.environ.get("GPMDM_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser(prog="gpmdm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -248,6 +279,9 @@ def main(argv=None) -> int:
                          "(spectral rank selection; models/compressed.py)")
     pe.add_argument("--compress-rank", type=int, default=0,
                     help="pin the compressed quad rank (implies --compressed)")
+    pe.add_argument("--exact", action="store_true",
+                    help="force the exact posterior (reference semantics) "
+                         "even past the auto-compress size threshold")
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")

@@ -347,6 +347,52 @@ def _packed_gather_vmap(axis_size, in_batched, packed, idx):
 #: posterior; docs/DEPLOY.md, docs/BENCHMARKS.md round 3).
 _EXACT_QUAD_SAFE_N = 4096
 
+#: Training-set size above which ``posterior='auto'`` deploys the exact
+#: model through the compressed posterior (models/compressed.py): measured
+#: 3.4x at Ny=2048 and 10.8x-at-equal-accuracy at Ny=5120 (docs/DEPLOY.md).
+#: Below it the exact quad is cheap and most accurate.
+AUTO_COMPRESS_N = 1024
+
+
+def resolve_posterior(gpmdm, posterior="auto"):
+    """Deployment-policy posterior resolution (docs/DEPLOY.md).
+
+    ``posterior`` may be:
+
+    - ``'auto'`` (the ``GPMDM_PF`` default): the model's own posterior,
+      except an exact ``core.Posterior`` with Ny > ``AUTO_COMPRESS_N`` is
+      swapped for ``gpmdm.compressed_posterior()`` — at that scale the
+      compressed quad is both faster AND safer (the exact f32 quad has a
+      measured accuracy collapse past Ny~4k).  The O(N^3) host
+      eigendecomposition this costs runs once and is cached on the model.
+    - ``'exact'`` / ``None``: the model's own posterior unconditionally
+      (reference semantics; ``warn_if_unsafe_exact`` still fires at
+      deploy time when that is known-broken).
+    - ``'compressed'``: force ``gpmdm.compressed_posterior()``.
+    - any posterior object: used as-is.
+    """
+    if posterior is None or (isinstance(posterior, str) and posterior == "exact"):
+        gpmdm._require_posterior()
+        return gpmdm.posterior
+    if isinstance(posterior, str):
+        if posterior == "compressed":
+            return gpmdm.compressed_posterior()
+        if posterior != "auto":
+            raise ValueError(
+                f"posterior={posterior!r}: expected 'auto', 'exact', "
+                "'compressed', or a posterior object"
+            )
+        gpmdm._require_posterior()
+        p = gpmdm.posterior
+        if (
+            isinstance(p, core.Posterior)
+            and p.X.shape[0] > AUTO_COMPRESS_N
+            and hasattr(gpmdm, "compressed_posterior")
+        ):
+            return gpmdm.compressed_posterior()
+        return p
+    return posterior
+
 
 def warn_if_unsafe_exact(post, pf_cfg: PFConfig) -> None:
     """Warn when an exact posterior is deployed in the filter at a size
@@ -805,16 +851,24 @@ class GPMDM_PF:
         num_particles: int,
         config: Optional[PFConfig] = None,
         seed: int = 0,
-        posterior=None,
+        posterior="auto",
     ):
-        """``posterior`` (optional) overrides the model's exact posterior —
-        e.g. ``gpmdm.compressed_posterior(...)`` for the low-rank-quad
-        deployment path, or a ``SparsePosterior``.  Default: the model's
-        own (exact for GPMDM, SGPR for SparseGPMDM)."""
+        """``posterior`` selects the deployed GP posterior via
+        :func:`resolve_posterior`: ``'auto'`` (default) uses the model's
+        own posterior but swaps an exact one for the low-rank-quad
+        compressed posterior past Ny=``AUTO_COMPRESS_N`` (faster AND safer
+        there — docs/DEPLOY.md); ``'exact'``/``None`` forces the model's
+        own (reference semantics); ``'compressed'`` forces compression; or
+        pass any posterior object (e.g. ``gpmdm.compressed_posterior(...)``
+        with pinned ranks, or a ``SparsePosterior``)."""
         self._gpmdm = gpmdm
-        self._posterior_override = posterior
-        if posterior is None:
-            gpmdm._require_posterior()
+        resolved = resolve_posterior(gpmdm, posterior)
+        # model-own posterior stays un-pinned so a later
+        # model.precompute_posterior() is picked up live (the _post
+        # property re-reads it); anything else is an explicit override
+        self._posterior_override = (
+            None if resolved is getattr(gpmdm, "posterior", None) else resolved
+        )
         T = np.asarray(markov_switching_model, dtype=np.float64)
         if T.shape != (gpmdm.n_classes, gpmdm.n_classes):
             raise ValueError(

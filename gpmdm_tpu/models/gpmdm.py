@@ -229,6 +229,7 @@ class GPMDM:
             host_params if host_params is not None else self.params,
             self.get_Y(), self.config, self.layout,
         )
+        self._compressed_cache = {}
 
     def compressed_posterior(
         self,
@@ -240,14 +241,26 @@ class GPMDM:
         predictive MEAN stays exact, the variance quad contraction drops
         from O(N^2 P) to O(N q P) per filter frame.  Pass the result as the
         ``posterior=`` of :class:`GPMDM_PF` / ``pf_scan``.  ``tol`` selects
-        ranks from the Gram spectrum when ``rank_*`` are not pinned."""
+        ranks from the Gram spectrum when ``rank_*`` are not pinned.
+
+        The result is cached per (rank_y, rank_x, tol) — the O(N^3) host
+        eigendecomposition runs once per posterior refresh, so repeated
+        ``posterior='auto'`` deployments (GPMDM_PF, CLI eval) are free
+        after the first; every posterior refresh
+        (``_precompute_kernel_inverses``) clears the cache."""
         from . import compressed
 
         self._require_init()
-        return compressed.compress_host(
-            self.params, self.get_Y(), self.config, self.layout,
-            rank_y=rank_y, rank_x=rank_x, tol=tol,
-        )
+        cache = getattr(self, "_compressed_cache", None)
+        if cache is None:
+            cache = self._compressed_cache = {}
+        key = (rank_y, rank_x, tol)
+        if key not in cache:
+            cache[key] = compressed.compress_host(
+                self.params, self.get_Y(), self.config, self.layout,
+                rank_y=rank_y, rank_x=rank_x, tol=tol,
+            )
+        return cache[key]
 
     # ------------------------------------------------------------- training
 

@@ -110,6 +110,51 @@ def test_pf_dispatch_and_end_to_end(trained):
     flt.update(np.asarray(te[0][0]))  # per-frame path compiles + runs
 
 
+def test_auto_posterior_policy(trained):
+    """posterior='auto' (the GPMDM_PF default) deploys exact below
+    AUTO_COMPRESS_N and the compressed posterior above it; 'exact'
+    pins reference semantics; the compression is cached on the model."""
+    from gpmdm_tpu.filter.particle_filter import (
+        AUTO_COMPRESS_N,
+        resolve_posterior,
+    )
+    from gpmdm_tpu.models.compressed import CompressedPosterior
+
+    m_small, _, _ = trained  # Ny=300 < threshold
+    assert resolve_posterior(m_small, "auto") is m_small.posterior
+
+    # Ny=1200 > threshold: policy decision needs only shapes, not training
+    tr, tl, te, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=3, n_test_seqs=1, seq_len=200, D=8, seed=4
+    )
+    m = GPMDM(D=8, d=2, n_classes=2, dtype="float64",
+              y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    assert m.layout.Ny > AUTO_COMPRESS_N
+
+    auto = resolve_posterior(m, "auto")
+    assert isinstance(auto, CompressedPosterior)
+    assert resolve_posterior(m, "auto") is auto  # cached on the model
+    assert resolve_posterior(m, "exact") is m.posterior
+    assert resolve_posterior(m, None) is m.posterior
+    with pytest.raises(ValueError):
+        resolve_posterior(m, "bogus")
+
+    # the stateful wrapper default follows the policy end-to-end
+    flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=50, seed=0)
+    assert isinstance(flt._post, CompressedPosterior)
+    flt.update(np.asarray(te[0][0]))
+    flt_exact = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=50,
+                         seed=0, posterior="exact")
+    assert flt_exact._post is m.posterior
+
+    # a posterior refresh invalidates the compression cache
+    m._precompute_kernel_inverses()
+    assert resolve_posterior(m, "auto") is not auto
+
+
 def test_compressed_is_a_pytree(trained):
     m, _, _ = trained
     cp = m.compressed_posterior(tol=1e-6)

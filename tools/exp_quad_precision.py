@@ -94,8 +94,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         fps = args.frames / best
 
+        # posterior='exact': this experiment measures the EXACT quad at
+        # each MXU precision — the auto policy would swap in compression
         flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]],
-                       num_particles=args.particles, config=pfc, seed=0)
+                       num_particles=args.particles, config=pfc, seed=0,
+                       posterior="exact")
         correct = total = 0
         for Zq, label in zip(q_seqs, q_labels):
             flt.reset()
