@@ -64,6 +64,12 @@ def main() -> None:
                          "the trained Gram's condition so f32 TPU training "
                          "survives hyperparameter drift (the NaN-freeze "
                          "cliff is a failed f32 Cholesky)")
+    ap.add_argument("--save-at", default=None,
+                    help="comma list of step counts; saves "
+                         "bench_model_<config>_s<N>.npz at each cut "
+                         "(optimizer state resumes across segments) so the "
+                         "deployment point can be chosen by measured PF "
+                         "accuracy instead of the NaN-freeze point")
     args = ap.parse_args()
     if args.f64_cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -114,7 +120,28 @@ def main() -> None:
 
     m = build(train_dtype)
     m.init_X()
-    losses = m.train_adam(num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr)
+    if args.save_at:
+        cuts = sorted(int(s) for s in args.save_at.split(","))
+        losses, done = [], 0
+        for cut in cuts:
+            seg = m.train_adam(
+                num_opt_steps=cut - done,
+                num_print_steps=max((cut - done) // 2, 1), lr=args.lr,
+            )
+            losses.extend(np.asarray(seg).tolist())
+            done = cut
+            m.save(os.path.join(
+                REPO, "bench_assets", f"bench_model_{args.config}_s{cut}.npz"
+            ))
+            print(f"[{args.config}] saved s{cut} (loss {losses[-1]:.4e})",
+                  flush=True)
+            if not np.isfinite(losses[-1]):
+                break  # frozen: later cuts would save identical params
+        steps = done
+    else:
+        losses = m.train_adam(
+            num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr
+        )
     out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
     if args.f64_cpu:
         # rebuild as a float32-config model for TPU deployment: the npz
