@@ -270,6 +270,47 @@ def main() -> None:
         )
         c8_acc = rep8.frame_metrics["accuracy"]
 
+    # secondary metric: the BASELINE "hour-long sequences" config at its
+    # literal scale — 2 classes x 2 x 27,000-frame training sequences
+    # (108k frames, an hour at 30 fps), sparse family (M=128), streaming
+    # through the same pf_scan.  Asset selection: tools/train_bench_assets
+    # --save-at + tools/eval_asset_guard (measured-best checkpoint).
+    hl_fps = hl_acc = hl_f1 = None
+    ckpt_hl = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_assets", "bench_model_hourlong.npz")
+    if os.path.exists(ckpt_hl):
+        from gpmdm_tpu import SparseGPMDM
+
+        mhl = SparseGPMDM.load(ckpt_hl)
+        scan_hl = jax.jit(
+            lambda s, Z, post, params: pf.pf_scan(
+                s, Z, post, params, log_T, mhl.config, pfc
+            )
+        )
+        state_hl = pf.pf_init(
+            mhl.posterior, mhl.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+        )
+        Zhl = jnp.asarray(np.asarray(Z), dtype=mhl.dtype)
+        _, ohl = scan_hl(state_hl, Zhl, mhl.posterior, mhl.params)
+        jax.block_until_ready(ohl.class_probs)
+        whl = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, ohl = scan_hl(state_hl, Zhl, mhl.posterior, mhl.params)
+            jax.block_until_ready(ohl.class_probs)
+            whl = min(whl, time.perf_counter() - t0)
+        hl_fps = N_FRAMES / whl
+        _, _, qhl, qhl_l = synthetic.make_dataset(
+            n_classes=2, n_train_seqs=1, n_test_seqs=6, seq_len=600,
+            D=mhl.D, seed=0,
+        )
+        rep_hl = evaluate_pf_banked(
+            mhl, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(s) for s in qhl],
+            qhl_l, burn_in=5, seed=0, config=pfc,
+        )
+        hl_acc = rep_hl.frame_metrics["accuracy"]
+        hl_f1 = rep_hl.frame_metrics["f1"]
+
     # secondary metric: BASELINE's multi-filter config — 64 independent
     # banks x 1k particles streaming concurrently (dp-shardable across a
     # slice; measured here on the single available chip).
@@ -322,6 +363,14 @@ def main() -> None:
                 "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
                 "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,
                 "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
+                "hourlong_fps": round(hl_fps, 1) if hl_fps is not None else None,
+                "hourlong_Ny": 108000 if hl_fps is not None else None,
+                "hourlong_frame_acc": (
+                    round(float(hl_acc), 4) if hl_acc is not None else None
+                ),
+                "hourlong_frame_f1": (
+                    round(float(hl_f1), 4) if hl_f1 is not None else None
+                ),
                 "c8_fps": round(c8_fps, 1) if c8_fps is not None else None,
                 "c8_frame_acc": round(float(c8_acc), 4) if c8_acc is not None else None,
                 "device": str(jax.devices()[0]),
