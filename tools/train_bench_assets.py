@@ -39,8 +39,15 @@ CONFIGS = {
     "sparse10240": ("sparse", 64, 80, 300, {"m_y": 128, "m_x": 128}),
     # BASELINE config 3 at its literal scale: 8 classes x N~5k (the
     # signature task, tools/bench_multiclass_pf.py DATA_KW shape)
+    # flg_train_x_lin_coeff=False: at this density the MAP optimum drives
+    # the dynamics linear coefficients to 3-18 (healthy models: 0.4-2.5),
+    # exploding particles off-manifold so the filter scores near chance
+    # (measured: the fully-converged f64 model classifies at 0.19).  The
+    # freeze fixes deployment; the f32 Cholesky NaN cliff persists either
+    # way, so this config trains --f64-cpu (docs/BENCHMARKS.md).
     "c8n5120": ("exact", 8, 80, 120,
                 {"C": 8, "D": 10, "d": 3,
+                 "model": {"flg_train_x_lin_coeff": False},
                  "data": {"center_spread": 3.0, "class_signature": 1.0,
                           "seed": 21}}),
     # BASELINE config 4 at its literal scale: "hour-long sequences" —
@@ -99,6 +106,7 @@ def main() -> None:
             if args.jitter > 0.0
             else {}
         )
+        jit_kw.update(extra.get("model", {}))
         if family == "exact":
             from gpmdm_tpu import GPMDM
 
@@ -120,33 +128,15 @@ def main() -> None:
 
     m = build(train_dtype)
     m.init_X()
-    if args.save_at:
-        cuts = sorted(int(s) for s in args.save_at.split(","))
-        losses, done = [], 0
-        for cut in cuts:
-            seg = m.train_adam(
-                num_opt_steps=cut - done,
-                num_print_steps=max((cut - done) // 2, 1), lr=args.lr,
-            )
-            losses.extend(np.asarray(seg).tolist())
-            done = cut
-            m.save(os.path.join(
-                REPO, "bench_assets", f"bench_model_{args.config}_s{cut}.npz"
-            ))
-            print(f"[{args.config}] saved s{cut} (loss {losses[-1]:.4e})",
-                  flush=True)
-            if not np.isfinite(losses[-1]):
-                break  # frozen: later cuts would save identical params
-        steps = done
-    else:
-        losses = m.train_adam(
-            num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr
-        )
-    out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
-    if args.f64_cpu:
-        # rebuild as a float32-config model for TPU deployment: the npz
-        # load casts params to the saved config dtype, so the f64-trained
-        # parameters deploy at f32 with the host-f64 posterior precompute
+
+    def save_model(path):
+        """Save ``m`` at ``path`` — through an f32-config rebuild when
+        training ran in f64 (the npz load casts params to the saved config
+        dtype, so the f64-trained parameters deploy at f32 with the
+        host-f64 posterior precompute)."""
+        if not args.f64_cpu:
+            m.save(path)
+            return
         import dataclasses as _dc
 
         import jax.numpy as jnp
@@ -163,9 +153,32 @@ def main() -> None:
             }
         )
         m32._precompute_kernel_inverses()
-        m32.save(out)
+        m32.save(path)
+
+    if args.save_at:
+        cuts = sorted(int(s) for s in args.save_at.split(","))
+        losses, done = [], 0
+        for cut in cuts:
+            seg = m.train_adam(
+                num_opt_steps=cut - done,
+                num_print_steps=max((cut - done) // 2, 1), lr=args.lr,
+            )
+            losses.extend(np.asarray(seg).tolist())
+            done = cut
+            save_model(os.path.join(
+                REPO, "bench_assets", f"bench_model_{args.config}_s{cut}.npz"
+            ))
+            print(f"[{args.config}] saved s{cut} (loss {losses[-1]:.4e})",
+                  flush=True)
+            if not np.isfinite(losses[-1]):
+                break  # frozen: later cuts would save identical params
+        steps = done
     else:
-        m.save(out)
+        losses = m.train_adam(
+            num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr
+        )
+    out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
+    save_model(out)
     print(
         f"[{args.config}] trained in {time.time() - t0:.0f}s "
         f"(loss {losses[0]:.3e} -> {losses[-1]:.3e}), saved {out}",
