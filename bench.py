@@ -358,7 +358,7 @@ def main() -> None:
                 "compressed_fps": round(comp_fps, 1),
                 "compressed_frame_acc": round(float(comp_acc), 4),
                 "compressed_frame_f1": round(float(comp_f1), 4),
-                "compressed_rank": int(cp.Ry.shape[0]),
+                "compressed_rank": int(cp.rank_y),
                 "d4_fps": round(d4_fps, 1) if d4_fps is not None else None,
                 "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
                 "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,

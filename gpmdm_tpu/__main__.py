@@ -132,8 +132,8 @@ def _cmd_eval(args) -> int:
             else "auto"
         )
         post = resolve_posterior(model, mode)
-    if hasattr(post, "Ry"):
-        q = post.Ry.shape[0]
+    if hasattr(post, "Uy"):
+        q = post.rank_y
         print(f"compressed posterior: quad rank {q}/{model.layout.Ny}")
     if args.banked:
         report = evaluate_pf_banked(

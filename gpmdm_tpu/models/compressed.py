@@ -14,17 +14,23 @@ over a d<=4-dim latent manifold decays spectrally fast; the dynamics linear
 kernel is exactly rank d*bs+1).  Eigendecompose once on the host in f64:
 
     K = U diag(mu) U^T,   mu_i >= s   (s = total diagonal noise shift)
-    K^-1 = (1/s) (I - U diag(d) U^T),   d_i = (mu_i - s) / mu_i in [0, 1)
 
-Truncating to the top-q eigenpairs (all discarded d_i ~ 0) gives
+Truncating to the top-q eigenpairs (every discarded 1/mu_i ~ 1/s) gives
 
-    quad(k) ~= (1/s) ||k||^2 - ||R k||^2,   R = diag(sqrt(d)/sqrt(s)) U_q^T
+    quad(k) ~= sum_{i<=q} (u_i^T k)^2 / mu_i  +  ||k - U_q U_q^T k||^2 / s
 
-an O(N q P) contraction instead of O(N^2 P).  The truncation direction
-makes quad an OVER-estimate by sum_{i>q} d_i (u_i^T k)^2 / s >= 0, i.e. the
-predictive variance is slightly UNDER-estimated; the bench accuracy guard
-arbitrates whether a given rank is usable (it is: see docs/BENCHMARKS.md
-round-3 table).
+two O(N q P) contractions instead of one O(N^2 P).  The residual is
+computed as a VECTOR (k minus its top-q reconstruction) on purpose: the
+algebraically-equal scalar form ``||k||^2/s - ||R k||^2`` is a
+catastrophic cancellation — the dynamics linear kernel makes
+``||k||^2/s`` orders of magnitude larger than the quad itself, so its
+f32 rounding (~eps * ||k||^2/s) swamped the result (measured at the
+headline asset: variance errors up to 39 absolute on a <=3.2 range, and
+a rank-INDEPENDENT 0.927 accuracy plateau vs 0.958 exact; fixed by this
+formulation).  The truncation direction makes quad an OVER-estimate by
+sum_{i>q} (1/s - 1/mu_i) (u_i^T k)^2 >= 0, i.e. the predictive variance
+is slightly UNDER-estimated; the bench accuracy guard arbitrates whether
+a given rank is usable (it is: see docs/BENCHMARKS.md round-3 table).
 
 The posterior MEAN is left exact — it costs O(N D P), a factor N/D below
 the quad — so compression touches nothing the resampling mean-path depends
@@ -62,21 +68,33 @@ class CompressedPosterior:
 
     X: jax.Array  # (Ny, d) latent matrix snapshot
     Ay: jax.Array  # (Ny, D) observation predictive weights (exact mean)
-    Ry: jax.Array  # (qy, Ny) obs quad factor
+    Uy: jax.Array  # (Ny, qy) obs Gram top eigenvectors
+    inv_mu_y: jax.Array  # (qy,) their inverse eigenvalues
     inv_s2y: jax.Array  # () 1 / (sigma_n^2 + sigma_num^2)
     Xin_c: jax.Array  # (C, n_max, din) per-class dynamics inputs, zero-padded
     mask_c: jax.Array  # (C, n_max)
     Axc: jax.Array  # (C, n_max, d) per-class dynamics weights (exact mean)
-    Rxc: jax.Array  # (C, qx, n_max) per-class quad factors, zero-padded
+    Uxc: jax.Array  # (C, n_max, qx) per-class top eigenvectors, zero-padded
+    inv_mu_xc: jax.Array  # (C, qx) inverse eigenvalues, zero-padded
     inv_s2x: jax.Array  # () 1 / (x noise + class_jitter)
+
+    @property
+    def rank_y(self) -> int:
+        return self.Uy.shape[1]
+
+    @property
+    def rank_x(self) -> int:
+        return self.Uxc.shape[2]
 
 
 def _quad_factor(Kmat: np.ndarray, shift: float, rank, tol: float):
-    """Top-q eigen factor R (q, N) with quad(k) = ||k||^2/s - ||R k||^2.
+    """Top-q eigenpairs (U_q, 1/mu_q) of the shifted Gram for the
+    well-conditioned quad split (module docstring).
 
     ``Kmat`` (f64, WITH the diagonal shift included) is eigendecomposed;
     eigenpairs with ``d_i = (mu_i - s)/mu_i > tol`` are kept (or exactly
-    ``rank`` of them if given), largest first.  Returns (R, kept)."""
+    ``rank`` of them if given), largest first.  Returns
+    (U_q (N, q), inv_mu (q,), kept)."""
     N = Kmat.shape[0]
     mu, U = np.linalg.eigh(Kmat)  # ascending
     mu = mu[::-1]
@@ -87,8 +105,10 @@ def _quad_factor(Kmat: np.ndarray, shift: float, rank, tol: float):
     else:
         q = min(int(rank), N)
     q = max(q, 1)
-    R = (np.sqrt(d[:q] / shift)[:, None]) * U[:, :q].T  # (q, N)
-    return R, q
+    # eigh roundoff can put mu_i slightly below the shift; 1/mu > 1/s
+    # would then overshoot the discarded-direction weight
+    inv_mu = 1.0 / np.maximum(mu[:q], shift)
+    return U[:, :q], inv_mu, q
 
 
 def compress_host(
@@ -126,7 +146,7 @@ def compress_host(
 
     Ky = KH.rbf(X, X, y_ls) + s_y * np.eye(X.shape[0])
     Ay = np.linalg.solve(Ky, Y64)
-    Ry, _ = _quad_factor(Ky, s_y, rank_y, tol)
+    Uy, inv_mu_y, _ = _quad_factor(Ky, s_y, rank_y, tol)
 
     x_t = X[layout.xin_idx]
     Xin = (
@@ -142,7 +162,7 @@ def compress_host(
     din = Xin.shape[1]
     Xin_c = np.zeros((C, n_max, din))
     Axc = np.zeros((C, n_max, cfg.d))
-    R_blocks = []
+    U_blocks = []
     q_max = 0
     for c in range(C):
         lo, hi = int(layout.x_class_offsets[c]), int(layout.x_class_offsets[c + 1])
@@ -151,12 +171,18 @@ def compress_host(
         Kc = KH.x_kernel(blk, blk, x_ls, x_lw) + s_x * np.eye(n_c)
         Axc[c, :n_c] = np.linalg.solve(Kc, Xout[lo:hi])
         Xin_c[c, :n_c] = blk
-        Rc, qc = _quad_factor(Kc, s_x, rank_x, tol)
-        R_blocks.append((Rc, n_c))
+        Uc, imu_c, qc = _quad_factor(Kc, s_x, rank_x, tol)
+        U_blocks.append((Uc, imu_c, n_c))
         q_max = max(q_max, qc)
-    Rxc = np.zeros((C, q_max, n_max))
-    for c, (Rc, n_c) in enumerate(R_blocks):
-        Rxc[c, : Rc.shape[0], :n_c] = Rc
+    # zero-padded eigen slots (cols of U / entries of inv_mu) are exactly
+    # "discarded directions": they contribute nothing to the top-q term
+    # and fall through to the 1/s residual, which is the truncation
+    # semantics for real discarded pairs too
+    Uxc = np.zeros((C, n_max, q_max))
+    inv_mu_xc = np.zeros((C, q_max))
+    for c, (Uc, imu_c, n_c) in enumerate(U_blocks):
+        Uxc[c, :n_c, : Uc.shape[1]] = Uc
+        inv_mu_xc[c, : imu_c.shape[0]] = imu_c
 
     dt = jnp.dtype(cfg.dtype)
 
@@ -166,12 +192,14 @@ def compress_host(
     return CompressedPosterior(
         X=cast(X),
         Ay=cast(Ay),
-        Ry=cast(Ry),
+        Uy=cast(Uy),
+        inv_mu_y=cast(inv_mu_y),
         inv_s2y=cast(1.0 / s_y),
         Xin_c=cast(Xin_c),
         mask_c=jnp.asarray(layout.class_pair_mask, dtype=dt),
         Axc=cast(Axc),
-        Rxc=cast(Rxc),
+        Uxc=cast(Uxc),
+        inv_mu_xc=cast(inv_mu_xc),
         inv_s2x=cast(1.0 / s_x),
     )
 
@@ -193,8 +221,13 @@ def predict_y(
         post.X, Xstar, params.y_log_lengthscales, precision=precision
     )  # (Ny, P)
     mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (P, D)
-    RK = jnp.matmul(post.Ry, Kstar, precision=quad_precision)  # (qy, P)
-    quad = post.inv_s2y * jnp.sum(Kstar * Kstar, axis=0) - jnp.sum(RK * RK, axis=0)
+    # well-conditioned quad split (module docstring): exact 1/mu weights in
+    # the kept eigenspace + 1/s on the explicitly-reconstructed residual
+    UK = jnp.matmul(post.Uy.T, Kstar, precision=quad_precision)  # (qy, P)
+    resid = Kstar - jnp.matmul(post.Uy, UK, precision=quad_precision)
+    quad = jnp.sum(post.inv_mu_y[:, None] * UK * UK, axis=0) + (
+        post.inv_s2y * jnp.sum(resid * resid, axis=0)
+    )
     diag_common = (
         K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
         - quad
@@ -230,8 +263,15 @@ def predict_x_all_classes(
     )(post.Xin_c)
     kst = kst * post.mask_c[:, :, None]  # (C, n_max, P)
     mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
-    RK = jnp.einsum("cqn,cnp->cqp", post.Rxc, kst, precision=quad_precision)
-    quad = post.inv_s2x * jnp.sum(kst * kst, axis=1) - jnp.sum(RK * RK, axis=1)
+    # well-conditioned quad split (module docstring); padded rows/eigen
+    # slots are zero so they drop out of both terms correctly
+    UK = jnp.einsum("cnq,cnp->cqp", post.Uxc, kst, precision=quad_precision)
+    resid = kst - jnp.einsum(
+        "cnq,cqp->cnp", post.Uxc, UK, precision=quad_precision
+    )
+    quad = jnp.sum(post.inv_mu_xc[:, :, None] * UK * UK, axis=1) + (
+        post.inv_s2x * jnp.sum(resid * resid, axis=1)
+    )
     diag_star = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )  # (P,)

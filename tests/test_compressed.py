@@ -59,7 +59,7 @@ def test_spectral_truncation_quality(trained, queries):
     factor well below N; the mean is bit-exact by construction."""
     m, _, _ = trained
     cp = m.compressed_posterior(tol=1e-6)
-    assert cp.Ry.shape[0] < m.layout.Ny  # actually compressed
+    assert cp.rank_y < m.layout.Ny  # actually compressed
     my, vy = core.predict_y(m.posterior, m.params, queries, m.config)
     cy, cvy = compressed.predict_y(cp, m.params, queries, m.config)
     np.testing.assert_allclose(np.asarray(cy), np.asarray(my), atol=1e-9)

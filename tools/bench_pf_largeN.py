@@ -116,7 +116,7 @@ def main() -> None:
         variants = [("exact" if family == "exact" else "sparse", m.posterior)]
         if family == "exact":
             cp = m.compressed_posterior()
-            variants.append((f"compressed-q{cp.Ry.shape[0]}", cp))
+            variants.append((f"compressed-q{cp.rank_y}", cp))
 
         for label, post in variants:
             scan = jax.jit(

@@ -1,22 +1,16 @@
 #!/usr/bin/env python
-"""Measure the quad-precision lever: bf16 variance-quad matmuls.
+"""Sweep the compressed-posterior rank at the HEADLINE shape (Ny=480).
 
-The PF's two biggest matmuls are the variance-quad products
-Kinv @ Kstar (observation) and its per-class dynamics analogue — together
-~0.25 ms of the 0.43 ms frame at P=10k, N=480.  Quad errors perturb only
-the predictive variance (never the mean), so unlike the star kernel —
-where 1-pass bf16 measured chance-level accuracy — the quad matmul is a
-candidate for bf16.
+Round 3 measured the auto-rank (tol=1e-6 -> qy=80) compressed posterior at
+4131 fps / 0.926 accuracy vs the exact path's 2991 / 0.958 — the same fps
+as the rejected bf16-quad lever but +0.05 accuracy.  The open question for
+the deployment policy (particle_filter.AUTO_COMPRESS_N = 1024): is there a
+rank between 80 and N where the variance under-estimate stops costing
+accuracy while the quad contraction still beats the exact O(N^2 P)?  If a
+mid rank holds the exact path's accuracy at >3.3k fps, auto-compression
+can cover the headline shape too.
 
-Runs the headline bench config (committed trained asset, so posterior
-values are realistic) under three PFConfigs and reports fps + held-out
-frame accuracy for each:
-
-  high/high      — current default (precision='high')
-  high/bf16      — precision='high', quad_precision='default'  (the lever)
-  bf16/bf16      — precision='default'                (known-bad reference)
-
-Usage: python tools/exp_quad_precision.py [--particles 10000]
+Usage: python tools/exp_compressed_rank.py [--particles 10000]
 """
 
 from __future__ import annotations
@@ -36,6 +30,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
     ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--ranks", default="auto,120,160,240,320")
     args = ap.parse_args()
 
     import jax
@@ -51,8 +46,7 @@ def main() -> None:
 
     m = GPMDM.load(REPO / "bench_assets" / "bench_model.npz")
     D = m.D
-    # initialize the device->host transport BEFORE any timing:
-    # block_until_ready is a no-op until the first fetch (CLAUDE.md)
+    # initialize the device->host transport BEFORE any timing (CLAUDE.md)
     np.asarray(jnp.zeros(1) + 0)
     print(f"device={jax.devices()[0]} P={args.particles} Ntrain={m.layout.Ny}")
 
@@ -67,41 +61,30 @@ def main() -> None:
         n_classes=2, n_train_seqs=4, n_test_seqs=6, seq_len=60, D=D, seed=0
     )
 
-    variants = [
-        ("high/high", dict(precision="high")),
-        ("high/bf16-quad", dict(precision="high", quad_precision="default")),
-        ("bf16/bf16", dict(precision="default")),
-        # opt-in fused kernels forced on at the bench shape — measured
-        # slower than XLA (1678 vs 2316 fps) and accuracy-lossy (0.715)
-        # at this asset's near-singular posteriors; kept as the regression
-        # arbitration for the 'on' path (see _use_pallas's docstring)
-        ("pallas-forced", dict(precision="high", pallas="on")),
-    ]
-    for name, kw in variants:
-        pfc = PFConfig(num_particles=args.particles, **kw)
+    pfc = PFConfig(num_particles=args.particles)
+
+    def bench_one(name, post):
         scan = jax.jit(
-            lambda s, Z, post, params, pfc=pfc: pf.pf_scan(
+            lambda s, Z, post, params: pf.pf_scan(
                 s, Z, post, params, log_T, m.config, pfc
             )
         )
         state = pf.pf_init(
-            m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+            post, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
         )
-        _, outs = scan(state, Z, m.posterior, m.params)
+        _, outs = scan(state, Z, post, m.params)
         jax.block_until_ready(outs.class_probs)
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            _, outs = scan(state, Z, m.posterior, m.params)
+            _, outs = scan(state, Z, post, m.params)
             jax.block_until_ready(outs.class_probs)
             best = min(best, time.perf_counter() - t0)
         fps = args.frames / best
 
-        # posterior='exact': this experiment measures the EXACT quad at
-        # each MXU precision — the auto policy would swap in compression
         flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]],
                        num_particles=args.particles, config=pfc, seed=0,
-                       posterior="exact")
+                       posterior=post)
         correct = total = 0
         for Zq, label in zip(q_seqs, q_labels):
             flt.reset()
@@ -109,8 +92,20 @@ def main() -> None:
             correct += (pred[5:] == label).sum()
             total += len(pred) - 5
         acc = correct / total
-        print(f"{name:>16}: {fps:8.1f} fps  ({1000.0 / fps:6.4f} ms/frame)  "
-              f"frame_acc={acc:.4f}")
+        qy = post.rank_y if hasattr(post, "Uy") else m.layout.Ny
+        qx = post.rank_x if hasattr(post, "Uxc") else "-"
+        print(f"{name:>10}: qy={qy:>4} qx={qx:>4}  {fps:8.1f} fps  "
+              f"({1000.0 / fps:6.4f} ms/frame)  frame_acc={acc:.4f}",
+              flush=True)
+
+    bench_one("exact", m.posterior)
+    for spec in args.ranks.split(","):
+        if spec == "auto":
+            post = m.compressed_posterior()
+        else:
+            r = int(spec)
+            post = m.compressed_posterior(rank_y=r, rank_x=r)
+        bench_one(spec, post)
 
 
 if __name__ == "__main__":
