@@ -55,9 +55,19 @@ def _load_dataset(args, D=None, C=None):
         run_te = registry.load_trials(registry.RUN_TRIAL_IDS_TEST, args.mocap_dir)
         train = [(a, 0) for a in arrays(walk_tr)] + [(a, 1) for a in arrays(run_tr)]
         test = [(a, 0) for a in arrays(walk_te)] + [(a, 1) for a in arrays(run_te)]
-        D = train[0][0].shape[1]
-        print(f"CMU walk/run: {len(train)} train / {len(test)} test trials, D={D}")
-        return train, test, D
+        cmu_D = train[0][0].shape[1]
+        # eval pins D/C to the loaded model's shapes — refuse to stream
+        # mismatched trials into it (a synthetic-trained model evaluated
+        # on a machine that DOES have the mocap dir would otherwise crash
+        # deep in the filter, or worse, mis-shape the transition matrix)
+        if (D is not None and D != cmu_D) or (C is not None and C != 2):
+            raise SystemExit(
+                f"checkpoint expects D={D}, C={C} but the CMU walk/run "
+                f"dataset provides D={cmu_D}, C=2 — evaluate with a "
+                "matching checkpoint or point --mocap-dir elsewhere"
+            )
+        print(f"CMU walk/run: {len(train)} train / {len(test)} test trials, D={cmu_D}")
+        return train, test, cmu_D
     print("mocap data not found; using synthetic limit cycles")
     D = D or 12
     tr_s, tr_l, te_s, te_l = synthetic.make_dataset(
@@ -274,14 +284,18 @@ def main(argv=None) -> int:
     pe.add_argument("--resampling", default="systematic", choices=["systematic", "multinomial"])
     pe.add_argument("--burn-in", type=int, default=0)
     pe.add_argument("--seed", type=int, default=0)
-    pe.add_argument("--compressed", action="store_true",
-                    help="deploy the low-rank-quad compressed posterior "
-                         "(spectral rank selection; models/compressed.py)")
-    pe.add_argument("--compress-rank", type=int, default=0,
-                    help="pin the compressed quad rank (implies --compressed)")
-    pe.add_argument("--exact", action="store_true",
-                    help="force the exact posterior (reference semantics) "
-                         "even past the auto-compress size threshold")
+    post_group = pe.add_mutually_exclusive_group()
+    post_group.add_argument("--compressed", action="store_true",
+                            help="deploy the low-rank-quad compressed "
+                                 "posterior (spectral rank selection; "
+                                 "models/compressed.py)")
+    post_group.add_argument("--compress-rank", type=int, default=0,
+                            help="pin the compressed quad rank "
+                                 "(implies --compressed)")
+    post_group.add_argument("--exact", action="store_true",
+                            help="force the exact posterior (reference "
+                                 "semantics) even past the auto-compress "
+                                 "size threshold")
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")

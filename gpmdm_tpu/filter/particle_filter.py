@@ -399,11 +399,15 @@ def warn_if_unsafe_exact(post, pf_cfg: PFConfig) -> None:
     where the default MXU precision is known to break classification."""
     import warnings
 
+    # the EFFECTIVE quad precision is quad_precision falling back to
+    # precision (config.py lax_quad_precision) — checking the two fields
+    # independently would miss e.g. (precision='highest',
+    # quad_precision='high'), which runs the quad at the unsafe level
+    effective_quad = pf_cfg.quad_precision or pf_cfg.precision
     if (
         isinstance(post, core.Posterior)
         and post.X.shape[0] > _EXACT_QUAD_SAFE_N
-        and pf_cfg.precision != "highest"
-        and pf_cfg.quad_precision != "highest"
+        and effective_quad != "highest"
         and jnp.dtype(post.X.dtype) != jnp.dtype(jnp.float64)
     ):
         warnings.warn(
@@ -862,13 +866,20 @@ class GPMDM_PF:
         pass any posterior object (e.g. ``gpmdm.compressed_posterior(...)``
         with pinned ranks, or a ``SparsePosterior``)."""
         self._gpmdm = gpmdm
-        resolved = resolve_posterior(gpmdm, posterior)
-        # model-own posterior stays un-pinned so a later
-        # model.precompute_posterior() is picked up live (the _post
-        # property re-reads it); anything else is an explicit override
-        self._posterior_override = (
-            None if resolved is getattr(gpmdm, "posterior", None) else resolved
-        )
+        # string modes ('auto'/'exact'/'compressed') and None stay
+        # un-pinned: the _post property re-resolves them per call, so a
+        # later model refresh (train_adam / _precompute_kernel_inverses)
+        # is picked up live at EVERY model size — resolve_posterior's
+        # per-model compression cache makes re-resolution free, and the
+        # refresh clears that cache.  Only a posterior OBJECT is an
+        # explicit pin.
+        if posterior is None or isinstance(posterior, str):
+            self._posterior_mode = posterior
+            self._posterior_override = None
+            resolve_posterior(gpmdm, posterior)  # validate + warm cache now
+        else:
+            self._posterior_mode = None
+            self._posterior_override = posterior
         T = np.asarray(markov_switching_model, dtype=np.float64)
         if T.shape != (gpmdm.n_classes, gpmdm.n_classes):
             raise ValueError(
@@ -896,11 +907,9 @@ class GPMDM_PF:
 
     @property
     def _post(self):
-        return (
-            self._posterior_override
-            if self._posterior_override is not None
-            else self._gpmdm.posterior
-        )
+        if self._posterior_override is not None:
+            return self._posterior_override
+        return resolve_posterior(self._gpmdm, self._posterior_mode)
 
     def reset(self) -> None:
         """Re-initialize particles (reference reset, gpmdm_pf.py:264)."""

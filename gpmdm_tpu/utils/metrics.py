@@ -228,10 +228,12 @@ def evaluate_pf_banked(
     Zb = jnp.asarray(Zb, dtype=model.dtype)
     valid_j = jnp.asarray(valid)
 
-    states = pf.pf_init_bank(
-        post, model.layout.y_class_offsets,
-        jax.random.PRNGKey(seed), pfc, B,
-    )
+    def init_bank(n_banks, key=None):
+        return pf.pf_init_bank(
+            post, model.layout.y_class_offsets,
+            key if key is not None else jax.random.PRNGKey(seed), pfc, n_banks,
+        )
+
     if mesh is not None:
         from ..parallel import pf_scan_bank_sharded_masked
 
@@ -246,10 +248,7 @@ def evaluate_pf_banked(
             valid_j = jnp.concatenate(
                 [valid_j, jnp.zeros((Bp - B, T_pad), dtype=bool)]
             )
-            states = pf.pf_init_bank(
-                post, model.layout.y_class_offsets,
-                jax.random.PRNGKey(seed), pfc, Bp,
-            )
+        states = init_bank(Bp)
         t0 = time.perf_counter()
         _, outs = pf_scan_bank_sharded_masked(
             states, Zb, valid_j, post, model.params, log_T,
@@ -275,9 +274,8 @@ def evaluate_pf_banked(
                 vc = jnp.concatenate(
                     [vc, jnp.zeros((Bc - (hi - lo), T_pad), dtype=bool)]
                 )
-            states_c = pf.pf_init_bank(
-                post, model.layout.y_class_offsets,
-                jax.random.fold_in(jax.random.PRNGKey(seed), j), pfc, Bc,
+            states_c = init_bank(
+                Bc, jax.random.fold_in(jax.random.PRNGKey(seed), j)
             )
             _, outs = scan(states_c, Zc, vc, post, model.params, log_T)
             pred_chunks.append(np.asarray(outs.most_likely_class)[: hi - lo])
@@ -289,6 +287,7 @@ def evaluate_pf_banked(
         # (a fresh jax.jit(lambda) here recompiled on every call and the
         # reported wall always included compile time)
         scan = pf._banked_scan_jit(model.config, pfc)
+        states = init_bank(B)
         t0 = time.perf_counter()
         _, outs = scan(states, Zb, valid_j, post, model.params, log_T)
         preds_all = np.asarray(outs.most_likely_class)  # (B, T_pad)

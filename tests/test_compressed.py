@@ -154,6 +154,21 @@ def test_auto_posterior_policy(trained):
     m._precompute_kernel_inverses()
     assert resolve_posterior(m, "auto") is not auto
 
+    # GPMDM_PF's string modes stay LIVE across model refreshes at every
+    # model size (a pinned stale compressed posterior would silently
+    # classify with pre-refresh parameters); only object overrides pin
+    flt_auto = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=50,
+                        seed=0)
+    first = flt_auto._post
+    assert isinstance(first, CompressedPosterior)
+    m._precompute_kernel_inverses()
+    assert flt_auto._post is not first  # re-resolved after the refresh
+    pinned = m.compressed_posterior()
+    flt_pin = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]], num_particles=50,
+                       seed=0, posterior=pinned)
+    m._precompute_kernel_inverses()
+    assert flt_pin._post is pinned  # explicit object stays pinned
+
 
 def test_compressed_is_a_pytree(trained):
     m, _, _ = trained

@@ -391,3 +391,10 @@ def test_unsafe_exact_warning():
         pf.warn_if_unsafe_exact(comp.CompressedPosterior(**kw), PFConfig())
     with pytest.warns(UserWarning, match="compressed_posterior"):
         pf.warn_if_unsafe_exact(fake_post(big), PFConfig())
+    # the EFFECTIVE quad precision is quad_precision or precision:
+    # (highest, high) runs the quad at the unsafe level and must warn
+    with pytest.warns(UserWarning, match="compressed_posterior"):
+        pf.warn_if_unsafe_exact(
+            fake_post(big),
+            PFConfig(precision="highest", quad_precision="high"),
+        )

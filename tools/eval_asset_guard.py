@@ -27,9 +27,14 @@ if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 else:
-    # TPU path: reuse the bench cache (the bench guard shapes are warm
-    # there — pass --particles 10000 to hit them)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # TPU path: reuse the repo-committed bench cache (bench.py warms it;
+    # the bench guard shapes are warm there — pass --particles 10000 to
+    # hit them).  /tmp caches do not survive fresh containers (CLAUDE.md).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench_assets", "jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

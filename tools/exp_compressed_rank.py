@@ -46,8 +46,9 @@ def main() -> None:
 
     m = GPMDM.load(REPO / "bench_assets" / "bench_model.npz")
     D = m.D
-    # initialize the device->host transport BEFORE any timing (CLAUDE.md)
-    np.asarray(jnp.zeros(1) + 0)
+    from gpmdm_tpu.utils.profiling import warm_transport
+
+    warm_transport()  # block_until_ready is a no-op before the first fetch
     print(f"device={jax.devices()[0]} P={args.particles} Ntrain={m.layout.Ny}")
 
     _, _, test_seqs, _ = synthetic.make_dataset(

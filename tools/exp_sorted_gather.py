@@ -20,6 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
+from gpmdm_tpu.utils.profiling import warm_transport
+
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
@@ -36,7 +38,7 @@ def main() -> None:
     from gpmdm_tpu.filter import particle_filter as pf
 
     t0 = time.time()
-    np.asarray(jnp.zeros((1,)) + 0)  # init the fetch path; 2-450 s
+    warm_transport()  # init the fetch path; 2-450 s
     print(f"transport init: {time.time() - t0:.1f}s; device {jax.devices()[0]}",
           flush=True)
 
@@ -118,7 +120,7 @@ def flat_vs_batched() -> None:
     import jax.numpy as jnp
 
     t0 = time.time()
-    np.asarray(jnp.zeros((1,)) + 0)
+    warm_transport()
     print(f"transport init: {time.time() - t0:.1f}s", flush=True)
 
     P, B, T, W = 10_000, 12, 64, 5

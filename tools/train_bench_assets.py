@@ -50,6 +50,17 @@ CONFIGS = {
                  "model": {"flg_train_x_lin_coeff": False},
                  "data": {"center_spread": 3.0, "class_signature": 1.0,
                           "seed": 21}}),
+    # c8n5120 variant: noise scales ALSO frozen — the s30..s120 guard
+    # sweep showed monotone y_sigma_n shrink (0.074 -> 0.042) +
+    # lambda/lengthscale growth sharpening the likelihood until the
+    # filter starves (guard acc 0.71/0.83/0.29/0.44, best s60)
+    "c8n5120f": ("exact", 8, 80, 120,
+                 {"C": 8, "D": 10, "d": 3,
+                  "model": {"flg_train_x_lin_coeff": False,
+                            "flg_train_y_sigma_n": False,
+                            "flg_train_x_sigma_n": False},
+                  "data": {"center_spread": 3.0, "class_signature": 1.0,
+                           "seed": 21}}),
     # BASELINE config 4 at its literal scale: "hour-long sequences" —
     # 2 classes x 2 sequences x 27,000 frames = 108k training frames
     # (an hour at 30 fps), trainable only by the sparse family
@@ -178,6 +189,16 @@ def main() -> None:
             num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr
         )
     out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
+    if not np.isfinite(losses[-1]):
+        # NaN-freeze: the frozen params are the measured-degenerate
+        # checkpoint class (docstring) — never let them overwrite the
+        # deployed asset; pick a _sN cut with tools/eval_asset_guard.py
+        print(
+            f"[{args.config}] training NaN-froze; NOT overwriting {out} — "
+            "guard-select a saved cut instead",
+            flush=True,
+        )
+        return
     save_model(out)
     print(
         f"[{args.config}] trained in {time.time() - t0:.0f}s "
