@@ -20,8 +20,6 @@ from pathlib import Path
 
 import numpy as np
 
-from gpmdm_tpu.utils.profiling import warm_transport
-
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
@@ -36,6 +34,7 @@ def main() -> None:
 
     from gpmdm_tpu import GPMDM, PFConfig
     from gpmdm_tpu.filter import particle_filter as pf
+    from gpmdm_tpu.utils.profiling import warm_transport
 
     t0 = time.time()
     warm_transport()  # init the fetch path; 2-450 s
@@ -118,6 +117,8 @@ def flat_vs_batched() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     import jax.numpy as jnp
+
+    from gpmdm_tpu.utils.profiling import warm_transport
 
     t0 = time.time()
     warm_transport()
