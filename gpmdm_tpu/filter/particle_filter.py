@@ -349,9 +349,18 @@ _EXACT_QUAD_SAFE_N = 4096
 
 #: Training-set size above which ``posterior='auto'`` deploys the exact
 #: model through the compressed posterior (models/compressed.py): measured
-#: 3.4x at Ny=2048 and 10.8x-at-equal-accuracy at Ny=5120 (docs/DEPLOY.md).
+#: 2.5x at Ny=2048 and 8x-at-better-accuracy at Ny=5120 (docs/DEPLOY.md).
 #: Below it the exact quad is cheap and most accurate.
 AUTO_COMPRESS_N = 1024
+
+#: Spectral-health gate for the auto policy: if the tol-selected quad rank
+#: exceeds this fraction of Ny, the trained Gram's spectrum is too flat
+#: for compression to pay — the speedup shrinks toward 1 while the
+#: truncated tail mass grows.  Measured (docs/BENCHMARKS.md): q/N <= 0.073
+#: rows win 2.5-4.3x at equal-or-better accuracy; the q/N = 0.247 row
+#: (c8n5120 early-stopped cut) won only 1.47x and LOST 0.07 frame
+#: accuracy.  The threshold sits between the measured good/bad points.
+AUTO_COMPRESS_MAX_Q_FRAC = 0.20
 
 
 def resolve_posterior(gpmdm, posterior="auto"):
@@ -389,7 +398,26 @@ def resolve_posterior(gpmdm, posterior="auto"):
             and p.X.shape[0] > AUTO_COMPRESS_N
             and hasattr(gpmdm, "compressed_posterior")
         ):
-            return gpmdm.compressed_posterior()
+            cp = gpmdm.compressed_posterior()
+            if cp.rank_y <= AUTO_COMPRESS_MAX_Q_FRAC * p.X.shape[0]:
+                return cp
+            # flat spectrum: compression pays little and the truncated
+            # tail measurably costs accuracy (AUTO_COMPRESS_MAX_Q_FRAC
+            # note) — deploy exact; warn_if_unsafe_exact still fires at
+            # deploy time where that is known-risky
+            import warnings
+
+            warnings.warn(
+                f"posterior='auto': spectral quad rank {cp.rank_y}/"
+                f"{p.X.shape[0]} exceeds the "
+                f"{AUTO_COMPRESS_MAX_Q_FRAC:.0%} compression-pays "
+                "threshold (flat Gram spectrum — typically an early-"
+                "stopped or under-trained model); deploying the EXACT "
+                "posterior instead.  Pass posterior='compressed' or a "
+                "compressed_posterior(rank_y=...) object to override.",
+                stacklevel=3,
+            )
+            return p
         return p
     return posterior
 

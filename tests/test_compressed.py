@@ -169,6 +169,26 @@ def test_auto_posterior_policy(trained):
     m._precompute_kernel_inverses()
     assert flt_pin._post is pinned  # explicit object stays pinned
 
+    # flat-spectrum fallback: with a tiny observation lengthscale the
+    # Gram is ~I + noise, the tol-selected rank blows past
+    # AUTO_COMPRESS_MAX_Q_FRAC * Ny, and 'auto' deploys EXACT with a
+    # warning (measured: compression at flat spectra pays ~1.5x and
+    # costs accuracy — the c8n5120 row in docs/BENCHMARKS.md)
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    m.params = _dc.replace(
+        m.params,
+        y_log_lengthscales=_jnp.full_like(
+            m.params.y_log_lengthscales, np.log(0.01)
+        ),
+    )
+    m._precompute_kernel_inverses()
+    with pytest.warns(UserWarning, match="compression-pays"):
+        flat_resolved = resolve_posterior(m, "auto")
+    assert flat_resolved is m.posterior  # exact fallback
+
 
 def test_compressed_is_a_pytree(trained):
     m, _, _ = trained
