@@ -273,11 +273,11 @@ def main() -> None:
     # secondary metric: the BASELINE 8-class config at its LITERAL scale
     # (8 classes x 8 x 80-frame sequences = Ny 5120, the signature task)
     # through the DEPLOYMENT POLICY posterior (resolve_posterior 'auto':
-    # the s60 guard-best cut has a flat spectrum, so the policy deploys
-    # exact — docs/BENCHMARKS.md "BASELINE configs at literal scale").
-    # Timed at 200 frames (86 fps regime: 1000 frames would cost ~35 s
-    # of bench wall); guard on 2 held-out trials per class (one banked
-    # dispatch).
+    # compressed past Ny=1024, with a flat-spectrum advisory on this
+    # asset's q/N~0.25 — docs/BENCHMARKS.md "BASELINE configs at literal
+    # scale"; measured 132.9 fps / 0.995 acc vs exact 86.9 / 0.9456).
+    # Timed at 200 frames; guard on 2 held-out trials per class (one
+    # banked dispatch).
     c8n5120_fps = c8n5120_acc = None
     ckpt85 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_assets", "bench_model_c8n5120.npz")

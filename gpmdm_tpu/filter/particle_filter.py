@@ -353,14 +353,24 @@ _EXACT_QUAD_SAFE_N = 4096
 #: Below it the exact quad is cheap and most accurate.
 AUTO_COMPRESS_N = 1024
 
-#: Spectral-health gate for the auto policy: if the tol-selected quad rank
-#: exceeds this fraction of Ny, the trained Gram's spectrum is too flat
-#: for compression to pay — the speedup shrinks toward 1 while the
-#: truncated tail mass grows.  Measured (docs/BENCHMARKS.md): q/N <= 0.073
-#: rows win 2.5-4.3x at equal-or-better accuracy; the q/N = 0.247 row
-#: (c8n5120 early-stopped cut) won only 1.47x and LOST 0.07 frame
-#: accuracy.  The threshold sits between the measured good/bad points.
-AUTO_COMPRESS_MAX_Q_FRAC = 0.20
+#: FLOP-parity bound for the auto policy: the compressed quad costs two
+#: O(N q P) matmuls vs the exact quad's one O(N^2 P), so past q = N/2
+#: compression mathematically cannot pay — 'auto' falls back to exact
+#: there (a ~identity Gram, e.g. near-zero lengthscales).
+AUTO_COMPRESS_MAX_Q_FRAC = 0.5
+
+#: Flat-spectrum advisory band: q/N above this still compresses (measured
+#: 1.5x at q/N=0.25 — consistent with the 2q/N FLOP ratio — and on the
+#: healthy c8n5120 asset compressed also WON accuracy, 0.995 vs 0.9456
+#: exact), but a rank this high usually means an early-stopped or
+#: drifting model, so 'auto' warns that an accuracy guard is advised.
+#: Round-3 history: this threshold briefly acted as an exact-fallback
+#: gate, justified by ONE degenerate asset (the c8n5120 s60 cut, where
+#: compression lost 0.07 accuracy); the healthy retrain at the same q/N
+#: inverted the sign, and past Ny~4k exact-f32 carries its own measured
+#: collapse risk (_EXACT_QUAD_SAFE_N) — so the fallback was demoted to
+#: this advisory.  docs/BENCHMARKS.md "BASELINE configs at literal scale".
+AUTO_COMPRESS_FLAT_Q_FRAC = 0.20
 
 
 def resolve_posterior(gpmdm, posterior="auto"):
@@ -399,25 +409,38 @@ def resolve_posterior(gpmdm, posterior="auto"):
             and hasattr(gpmdm, "compressed_posterior")
         ):
             cp = gpmdm.compressed_posterior()
-            if cp.rank_y <= AUTO_COMPRESS_MAX_Q_FRAC * p.X.shape[0]:
-                return cp
-            # flat spectrum: compression pays little and the truncated
-            # tail measurably costs accuracy (AUTO_COMPRESS_MAX_Q_FRAC
-            # note) — deploy exact; warn_if_unsafe_exact still fires at
-            # deploy time where that is known-risky
-            import warnings
+            N = p.X.shape[0]
+            if cp.rank_y > AUTO_COMPRESS_MAX_Q_FRAC * N:
+                # past FLOP parity (2 O(NqP) vs 1 O(N^2 P)) compression
+                # cannot pay; deploy exact (warn_if_unsafe_exact still
+                # fires at deploy time where that is known-risky)
+                import warnings
 
-            warnings.warn(
-                f"posterior='auto': spectral quad rank {cp.rank_y}/"
-                f"{p.X.shape[0]} exceeds the "
-                f"{AUTO_COMPRESS_MAX_Q_FRAC:.0%} compression-pays "
-                "threshold (flat Gram spectrum — typically an early-"
-                "stopped or under-trained model); deploying the EXACT "
-                "posterior instead.  Pass posterior='compressed' or a "
-                "compressed_posterior(rank_y=...) object to override.",
-                stacklevel=3,
-            )
-            return p
+                warnings.warn(
+                    f"posterior='auto': spectral quad rank {cp.rank_y}/"
+                    f"{N} is past the q=N/2 FLOP-parity bound "
+                    "(near-identity Gram); compression cannot pay — "
+                    "deploying the EXACT posterior.  Pass "
+                    "posterior='compressed' or a "
+                    "compressed_posterior(rank_y=...) object to override.",
+                    stacklevel=3,
+                )
+                return p
+            if cp.rank_y > AUTO_COMPRESS_FLAT_Q_FRAC * N:
+                import warnings
+
+                warnings.warn(
+                    f"posterior='auto': spectral quad rank {cp.rank_y}/"
+                    f"{N} is in the flat-spectrum band (> "
+                    f"{AUTO_COMPRESS_FLAT_Q_FRAC:.0%} of Ny): compression "
+                    "still deploys (it beat exact on both speed and "
+                    "accuracy on the measured flat-spectrum asset) but a "
+                    "rank this high usually means an early-stopped or "
+                    "drifting model — validate with an accuracy guard "
+                    "(tools/eval_asset_guard.py).",
+                    stacklevel=3,
+                )
+            return cp
         return p
     return posterior
 

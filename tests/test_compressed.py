@@ -169,11 +169,13 @@ def test_auto_posterior_policy(trained):
     m._precompute_kernel_inverses()
     assert flt_pin._post is pinned  # explicit object stays pinned
 
-    # flat-spectrum fallback: with a tiny observation lengthscale the
-    # Gram is ~I + noise, the tol-selected rank blows past
-    # AUTO_COMPRESS_MAX_Q_FRAC * Ny, and 'auto' deploys EXACT with a
-    # warning (measured: compression at flat spectra pays ~1.5x and
-    # costs accuracy — the c8n5120 row in docs/BENCHMARKS.md)
+    # FLOP-parity fallback: with a tiny observation lengthscale the
+    # Gram is ~I + noise, the tol-selected rank blows past q = N/2
+    # where the compressed quad (two O(NqP) matmuls) costs more than
+    # the exact one (one O(N^2 P)), and 'auto' deploys EXACT with a
+    # warning.  (The former 20% threshold is now only an advisory —
+    # measured at q/N=0.25 compression won both speed and accuracy on
+    # the healthy c8n5120 asset; docs/BENCHMARKS.md.)
     import dataclasses as _dc
 
     import jax.numpy as _jnp
@@ -185,7 +187,7 @@ def test_auto_posterior_policy(trained):
         ),
     )
     m._precompute_kernel_inverses()
-    with pytest.warns(UserWarning, match="compression-pays"):
+    with pytest.warns(UserWarning, match="FLOP-parity"):
         flat_resolved = resolve_posterior(m, "auto")
     assert flat_resolved is m.posterior  # exact fallback
 

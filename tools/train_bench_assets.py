@@ -65,6 +65,14 @@ CONFIGS = {
     # 2 classes x 2 sequences x 27,000 frames = 108k training frames
     # (an hour at 30 fps), trainable only by the sparse family
     "hourlong": ("sparse", 2, 27_000, 200, {"m_y": 128, "m_x": 128}),
+    # hourlong variant with frozen noise scales: the trained-noise run
+    # NaN-froze at ~step 180 and deployed best at s140 (0.933); the
+    # likelihood-sharpening drift behind both observations is the
+    # trainable sigma_n (see the c8n5120f note above)
+    "hourlongf": ("sparse", 2, 27_000, 200,
+                  {"m_y": 128, "m_x": 128,
+                   "model": {"flg_train_y_sigma_n": False,
+                             "flg_train_x_sigma_n": False}}),
 }
 
 
