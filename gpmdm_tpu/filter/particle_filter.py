@@ -383,7 +383,9 @@ def resolve_posterior(gpmdm, posterior="auto"):
       swapped for ``gpmdm.compressed_posterior()`` — at that scale the
       compressed quad is both faster AND safer (the exact f32 quad has a
       measured accuracy collapse past Ny~4k).  The O(N^3) host
-      eigendecomposition this costs runs once and is cached on the model.
+      eigendecomposition this costs runs once, is cached on the model,
+      and persists through save/load — a loaded checkpoint deploys
+      without building the exact posterior at all (lazy, utils/io.py).
     - ``'exact'`` / ``None``: the model's own posterior unconditionally
       (reference semantics; ``warn_if_unsafe_exact`` still fires at
       deploy time when that is known-broken).
@@ -401,15 +403,20 @@ def resolve_posterior(gpmdm, posterior="auto"):
                 f"posterior={posterior!r}: expected 'auto', 'exact', "
                 "'compressed', or a posterior object"
             )
-        gpmdm._require_posterior()
-        p = gpmdm.posterior
+        # Decide from STATIC model info (family marker + layout.Ny), not
+        # from the built posterior: checkpoint loading defers the O(N^3)
+        # exact precompute (GPMDM.posterior property), and an 'auto'
+        # deployment that lands on the (persisted) compressed cache should
+        # never force that build.
+        layout = getattr(gpmdm, "layout", None)
         if (
-            isinstance(p, core.Posterior)
-            and p.X.shape[0] > AUTO_COMPRESS_N
+            getattr(gpmdm, "_deploys_core_posterior", False)
             and hasattr(gpmdm, "compressed_posterior")
+            and layout is not None
+            and layout.Ny > AUTO_COMPRESS_N
         ):
             cp = gpmdm.compressed_posterior()
-            N = p.X.shape[0]
+            N = layout.Ny
             if cp.rank_y > AUTO_COMPRESS_MAX_Q_FRAC * N:
                 # past FLOP parity (2 O(NqP) vs 1 O(N^2 P)) compression
                 # cannot pay; deploy exact (warn_if_unsafe_exact still
@@ -425,7 +432,8 @@ def resolve_posterior(gpmdm, posterior="auto"):
                     "compressed_posterior(rank_y=...) object to override.",
                     stacklevel=3,
                 )
-                return p
+                gpmdm._require_posterior()
+                return gpmdm.posterior
             if cp.rank_y > AUTO_COMPRESS_FLAT_Q_FRAC * N:
                 import warnings
 
@@ -441,7 +449,8 @@ def resolve_posterior(gpmdm, posterior="auto"):
                     stacklevel=3,
                 )
             return cp
-        return p
+        gpmdm._require_posterior()
+        return gpmdm.posterior
     return posterior
 
 

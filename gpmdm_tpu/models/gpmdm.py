@@ -105,9 +105,38 @@ class GPMDM:
         ]
         self.layout: Optional[DataLayout] = None
         self.params: Optional[core.GPMDMParams] = None
-        self.posterior: Optional[core.Posterior] = None
+        self.posterior = None
         self._opt_state = None
         self._training_mode = "all"
+
+    #: Deployment-family marker for resolve_posterior('auto'): True when
+    #: the model's own posterior is an exact ``core.Posterior`` (so the
+    #: auto policy may swap in the compressed quad at large Ny) — lets the
+    #: policy decide WITHOUT forcing a lazily-deferred exact build.
+    #: SparseGPMDM overrides to False (its posterior deploys as-is).
+    _deploys_core_posterior = True
+
+    @property
+    def posterior(self):
+        """Exact posterior state (``core.Posterior``), built lazily when a
+        checkpoint load deferred it: deployments that only ever touch the
+        persisted compressed cache (resolve_posterior 'auto' at large Ny)
+        never pay the O(N^3) host factorization (~30 s at Ny=5120)."""
+        if self._posterior is None and getattr(self, "_posterior_pending", False):
+            self._posterior_pending = False
+            hp = self._lazy_host_params
+            self._lazy_host_params = None
+            self._posterior = core.precompute_host(
+                hp if hp is not None else self.params,
+                self.get_Y(), self.config, self.layout,
+            )
+        return self._posterior
+
+    @posterior.setter
+    def posterior(self, value) -> None:
+        self._posterior = value
+        self._posterior_pending = False
+        self._lazy_host_params = None
 
     # ----------------------------------------------------------------- data
 
@@ -211,7 +240,7 @@ class GPMDM:
         if self.posterior is None:
             self._precompute_kernel_inverses()
 
-    def _precompute_kernel_inverses(self, host_params=None) -> None:
+    def _precompute_kernel_inverses(self, host_params=None, lazy=False) -> None:
         """Refresh posterior state (reference _precompute_kernel_inverses,
         gpmdm.py:1284-1305).
 
@@ -223,13 +252,22 @@ class GPMDM:
         ``host_params``: numpy copies of ``self.params``, when the caller
         already has them (checkpoint loading) — avoids a device->host
         fetch, whose FIRST occurrence in a process costs 2-450 s on the
-        remote-TPU transport (CLAUDE.md)."""
+        remote-TPU transport (CLAUDE.md).
+
+        ``lazy``: defer the O(N^3) host factorization to the first
+        ``posterior`` access (checkpoint loading — see the ``posterior``
+        property)."""
         self._require_init()
+        self._compressed_cache = {}
+        if lazy:
+            self._posterior = None
+            self._posterior_pending = True
+            self._lazy_host_params = host_params
+            return
         self.posterior = core.precompute_host(
             host_params if host_params is not None else self.params,
             self.get_Y(), self.config, self.layout,
         )
-        self._compressed_cache = {}
 
     def compressed_posterior(
         self,
@@ -247,7 +285,9 @@ class GPMDM:
         eigendecomposition runs once per posterior refresh, so repeated
         ``posterior='auto'`` deployments (GPMDM_PF, CLI eval) are free
         after the first; every posterior refresh
-        (``_precompute_kernel_inverses``) clears the cache."""
+        (``_precompute_kernel_inverses``) clears the cache.  ``save()``
+        persists the cache, so a loaded checkpoint deploys with no
+        O(N^3) work at all (utils/io.py)."""
         from . import compressed
 
         self._require_init()

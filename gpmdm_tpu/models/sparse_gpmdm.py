@@ -35,6 +35,10 @@ class SparseGPMDM(GPMDM):
     subset of the PCA latent init and trained jointly with everything else.
     """
 
+    #: The sparse posterior deploys as-is in the filter — the auto policy
+    #: never swaps it for a compressed exact quad (see GPMDM).
+    _deploys_core_posterior = False
+
     def __init__(self, *args, n_inducing_y: int = 64, n_inducing_x: int = 64, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_inducing_y = int(n_inducing_y)
@@ -76,10 +80,13 @@ class SparseGPMDM(GPMDM):
         self._opt_state = None
         self._precompute_kernel_inverses()
 
-    def _precompute_kernel_inverses(self, host_params=None) -> None:
+    def _precompute_kernel_inverses(self, host_params=None, lazy=False) -> None:
         # host f64 factorization, cast to model dtype (see
         # sparse.precompute_host / core.precompute_host rationale);
-        # host_params avoids the device->host fetch on checkpoint load
+        # host_params avoids the device->host fetch on checkpoint load.
+        # ``lazy`` is accepted for signature parity with GPMDM but the
+        # sparse precompute is O(N M^2) — cheap enough to run eagerly.
+        del lazy
         self._require_init()
         self.posterior = sparse.precompute_host(
             host_params if host_params is not None else self.params,

@@ -84,6 +84,20 @@ def save_model(model, file_path) -> None:
         meta["n_opt_leaves"] = len(leaves)
         for i, leaf in enumerate(leaves):
             arrays[f"opt_{i}"] = np.asarray(leaf)
+    # Deployment-posterior cache: each compressed_posterior() the model has
+    # built is persisted so a loaded checkpoint skips the O(N^3) host
+    # eigendecomposition (29 s at Ny=5120) on its next 'auto'/'compressed'
+    # deployment.  The cache is params-consistent by construction: it was
+    # built from these exact params and load restores it only after the
+    # posterior precompute re-derives them.
+    comp = getattr(model, "_compressed_cache", None) or {}
+    comp_keys = []
+    for j, (key, post) in enumerate(comp.items()):
+        comp_keys.append(list(key))  # (rank_y, rank_x, tol), Nones allowed
+        for f in dataclasses.fields(post):
+            arrays[f"comp_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
+    if comp_keys:
+        meta["compressed_keys"] = comp_keys
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -189,7 +203,29 @@ def load_model(cls, file_path):
             if meta.get("model_class") == "BCGPMDM":
                 model._materialize()  # X <- K_b @ W, then precompute
             else:
-                model._precompute_kernel_inverses(host_params=host_params)
+                # lazy: the O(N^3) exact precompute (~30 s at Ny=5120) is
+                # deferred to first posterior access — a large-N 'auto'
+                # deployment that hits the persisted compressed cache
+                # below never pays it (SparseGPMDM runs eagerly; its
+                # precompute is O(N M^2))
+                model._precompute_kernel_inverses(
+                    host_params=host_params, lazy=True
+                )
+            comp_keys = meta.get("compressed_keys")
+            if comp_keys:
+                # restore AFTER the precompute (which clears the cache):
+                # the persisted factors were built from these exact params
+                import dataclasses
+
+                from ..models.compressed import CompressedPosterior
+
+                cache = {}
+                fields = [f.name for f in dataclasses.fields(CompressedPosterior)]
+                for j, key in enumerate(comp_keys):
+                    cache[tuple(key)] = CompressedPosterior(
+                        **{f: jnp.asarray(data[f"comp_{j}_{f}"]) for f in fields}
+                    )
+                model._compressed_cache = cache
     return model
 
 

@@ -201,3 +201,86 @@ def test_compressed_is_a_pytree(trained):
     f = jax.jit(lambda p, q: compressed.predict_y(p, m.params, q, m.config)[0])
     out = f(cp, jnp.zeros((3, m.d)))
     assert out.shape == (3, m.D)
+
+
+def test_compressed_cache_persists_through_save_load(trained, tmp_path, monkeypatch):
+    """Checkpoints carry the deployment-posterior cache: a loaded model's
+    compressed_posterior() is a cache hit (no O(N^3) host eigendecomposition
+    — 29 s at Ny=5120) and predicts identically to the pre-save factors."""
+    m, _, _ = trained
+    cp = m.compressed_posterior()  # default ('auto') key
+    cp_pinned = m.compressed_posterior(rank_y=7, rank_x=5)
+    path = tmp_path / "with_cache.npz"
+    m.save(path)
+
+    m2 = GPMDM.load(path)
+    # any recompute attempt on the loaded model is a test failure
+    monkeypatch.setattr(
+        compressed, "compress_host",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("compressed cache missed after load")),
+    )
+    cp2 = m2.compressed_posterior()
+    cp2_pinned = m2.compressed_posterior(rank_y=7, rank_x=5)
+    assert cp2.rank_y == cp.rank_y and cp2_pinned.rank_y == 7
+    for a, b in zip(jax.tree.leaves(cp), jax.tree.leaves(cp2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    q = jnp.zeros((4, m.d))
+    my, vy = compressed.predict_y(cp_pinned, m.params, q, m.config)
+    my2, vy2 = compressed.predict_y(cp2_pinned, m2.params, q, m2.config)
+    np.testing.assert_allclose(np.asarray(my2), np.asarray(my), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vy2), np.asarray(vy), atol=1e-12)
+    # a model saved WITHOUT a cache loads with an empty one (format compat)
+    m._compressed_cache = {}
+    path2 = tmp_path / "no_cache.npz"
+    m.save(path2)
+    monkeypatch.undo()
+    m3 = GPMDM.load(path2)
+    assert getattr(m3, "_compressed_cache") == {}
+
+
+def test_lazy_posterior_on_load(tmp_path, monkeypatch):
+    """Checkpoint loading defers the O(N^3) exact precompute: an 'auto'
+    deployment that hits the persisted compressed cache never builds the
+    exact posterior; first explicit access builds it on demand."""
+    from gpmdm_tpu.filter.particle_filter import (
+        AUTO_COMPRESS_N,
+        resolve_posterior,
+    )
+    from gpmdm_tpu.models.compressed import CompressedPosterior
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=3, n_test_seqs=1, seq_len=200, D=8, seed=4
+    )
+    m = GPMDM(D=8, d=2, n_classes=2, dtype="float64",
+              y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    assert m.layout.Ny > AUTO_COMPRESS_N
+    resolve_posterior(m, "auto")  # populate the compressed cache
+    path = tmp_path / "lazy.npz"
+    m.save(path)
+
+    m2 = GPMDM.load(path)
+    assert m2._posterior is None and m2._posterior_pending
+    # any exact build during the cached-auto deployment is a failure
+    monkeypatch.setattr(
+        core, "precompute_host",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("exact posterior built during cached 'auto'")),
+    )
+    auto2 = resolve_posterior(m2, "auto")
+    assert isinstance(auto2, CompressedPosterior)
+    assert m2._posterior is None  # still deferred
+    monkeypatch.undo()
+    p = m2.posterior  # first access builds from the stashed host params
+    assert p is not None and not m2._posterior_pending
+    np.testing.assert_allclose(
+        np.asarray(p.Ky_inv), np.asarray(m.posterior.Ky_inv),
+        rtol=0, atol=1e-12,
+    )
+    # explicit refresh still rebuilds eagerly and clears the cache
+    m2._precompute_kernel_inverses()
+    assert m2._compressed_cache == {}
+    assert m2.posterior is not None
