@@ -98,6 +98,15 @@ def save_model(model, file_path) -> None:
             arrays[f"comp_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
     if comp_keys:
         meta["compressed_keys"] = comp_keys
+    # Sparse posteriors are small (O(M^2 + M D) factors) but cost an
+    # O(N M^2) host precompute — persist them so load skips it (~16 s at
+    # Ny=108k, M=128).  Exact core.Posterior is NOT persisted: its
+    # Ky_inv is O(N^2) (105 MB at Ny=5120) and load defers it lazily.
+    built = getattr(model, "_posterior", None)
+    if built is not None and type(built).__name__ == "SparsePosterior":
+        meta["posterior_class"] = "SparsePosterior"
+        for f in dataclasses.fields(built):
+            arrays[f"post_{f.name}"] = np.asarray(getattr(built, f.name))
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -202,6 +211,19 @@ def load_model(cls, file_path):
                 model._opt_state = jax.tree.unflatten(treedef, leaves)
             if meta.get("model_class") == "BCGPMDM":
                 model._materialize()  # X <- K_b @ W, then precompute
+            elif meta.get("posterior_class") == "SparsePosterior":
+                # persisted factors: skip the O(N M^2) host precompute
+                import dataclasses
+
+                from ..models.sparse import SparsePosterior
+
+                model.posterior = SparsePosterior(
+                    **{
+                        f.name: jnp.asarray(data[f"post_{f.name}"])
+                        for f in dataclasses.fields(SparsePosterior)
+                    }
+                )
+                model._compressed_cache = {}
             else:
                 # lazy: the O(N^3) exact precompute (~30 s at Ny=5120) is
                 # deferred to first posterior access — a large-N 'auto'

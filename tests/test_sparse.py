@@ -185,6 +185,36 @@ def test_sparse_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded.gpdm_loss(), ms.gpdm_loss(), rtol=1e-10)
 
 
+def test_sparse_posterior_persisted(tmp_path, monkeypatch):
+    """Checkpoints carry the SparsePosterior factors: load skips the
+    O(N M^2) host precompute (~16 s at Ny=108k) and the restored
+    posterior is bit-identical to the saved one."""
+    ms, _, _ = build(SparseGPMDM, n_inducing_y=12, n_inducing_x=10)
+    ms.train_adam(num_opt_steps=5, lr=0.01)
+    p = tmp_path / "sparse_post.npz"
+    ms.save(p)
+    from gpmdm_tpu import GPMDM as BaseCls
+
+    monkeypatch.setattr(
+        sparse, "precompute_host",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("sparse precompute ran despite persisted posterior")),
+    )
+    loaded = BaseCls.load(p)
+    for f in ["X", "Zy", "Ly", "LBy", "beta_y", "Zx", "Lx", "LBx", "beta_x"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(loaded.posterior, f)),
+            np.asarray(getattr(ms.posterior, f)), err_msg=f,
+        )
+    monkeypatch.undo()
+    # an explicit refresh recomputes the same factors from the params
+    loaded._precompute_kernel_inverses()
+    np.testing.assert_allclose(
+        np.asarray(loaded.posterior.beta_y), np.asarray(ms.posterior.beta_y),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
 def test_sparse_rollout_shape():
     ms, _, _ = build(SparseGPMDM, n_inducing_y=12, n_inducing_x=10)
     x0 = np.asarray(ms.get_X_for_class(0))[0]
