@@ -212,11 +212,20 @@ def predict_y(
     with_noise: bool = False,
     precision=_PREC,
     quad_precision=None,
+    recon_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation posterior with the compressed quad (same
-    contract as core.predict_y; mean is exact, variance rank-q)."""
+    contract as core.predict_y; mean is exact, variance rank-q).
+
+    ``recon_precision`` optionally lowers only the residual
+    RECONSTRUCTION matmul (k - U (U^T k)): its error enters the quad
+    damped by ||residual||/||k|| (module docstring), so it can tolerate
+    cheaper MXU passes than the eigenbasis projection.  Defaults to
+    ``quad_precision``."""
     if quad_precision is None:
         quad_precision = precision
+    if recon_precision is None:
+        recon_precision = quad_precision
     Kstar = K.rbf_kernel(
         post.X, Xstar, params.y_log_lengthscales, precision=precision
     )  # (Ny, P)
@@ -224,7 +233,7 @@ def predict_y(
     # well-conditioned quad split (module docstring): exact 1/mu weights in
     # the kept eigenspace + 1/s on the explicitly-reconstructed residual
     UK = jnp.matmul(post.Uy.T, Kstar, precision=quad_precision)  # (qy, P)
-    resid = Kstar - jnp.matmul(post.Uy, UK, precision=quad_precision)
+    resid = Kstar - jnp.matmul(post.Uy, UK, precision=recon_precision)
     quad = jnp.sum(post.inv_mu_y[:, None] * UK * UK, axis=0) + (
         post.inv_s2y * jnp.sum(resid * resid, axis=0)
     )
@@ -245,11 +254,15 @@ def predict_x_all_classes(
     with_noise: bool = False,
     precision=_PREC,
     quad_precision=None,
+    recon_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics posterior for every class with compressed quads
-    (same contract as core.predict_x_all_classes)."""
+    (same contract as core.predict_x_all_classes).  ``recon_precision``:
+    see predict_y."""
     if quad_precision is None:
         quad_precision = precision
+    if recon_precision is None:
+        recon_precision = quad_precision
     kst = jax.vmap(
         lambda Xin_blk: K.x_kernel(
             Xin_blk,
@@ -267,7 +280,7 @@ def predict_x_all_classes(
     # slots are zero so they drop out of both terms correctly
     UK = jnp.einsum("cnq,cnp->cqp", post.Uxc, kst, precision=quad_precision)
     resid = kst - jnp.einsum(
-        "cnq,cqp->cnp", post.Uxc, UK, precision=quad_precision
+        "cnq,cqp->cnp", post.Uxc, UK, precision=recon_precision
     )
     quad = jnp.sum(post.inv_mu_xc[:, :, None] * UK * UK, axis=1) + (
         post.inv_s2x * jnp.sum(resid * resid, axis=1)
