@@ -12,6 +12,8 @@ train [...]           train a GPMDM (CMU walk/run if data available, else
 eval <ckpt> [...]     stream test trials through the particle filter and
                       print confusion matrices / F1 / fps
 rollout <ckpt> [...]  autoregressive latent rollout demo
+deploy <ckpt> [...]   bake the deployment posterior into the checkpoint
+                      (later loads skip the O(N^3) host precompute)
 """
 
 from __future__ import annotations
@@ -201,6 +203,34 @@ def _cmd_rollout(args) -> int:
     return 0
 
 
+def _cmd_deploy(args) -> int:
+    """Bake the deployment posterior into a checkpoint (docs/DEPLOY.md).
+
+    Resolves the 'auto' policy posterior (or a pinned-rank compressed one)
+    and re-saves the checkpoint with the factors persisted, so later loads
+    deploy with zero O(N^3)/O(N M^2) host precompute.  No-op for sparse
+    models beyond re-saving (their posterior is persisted by save())."""
+    from . import GPMDM
+    from .filter.particle_filter import resolve_posterior
+
+    model = GPMDM.load(args.ckpt)
+    if args.rank_y or args.rank_x:
+        post = model.compressed_posterior(
+            rank_y=args.rank_y or None, rank_x=args.rank_x or None
+        )
+        kind = f"compressed (rank_y={post.rank_y}, rank_x={post.rank_x})"
+    else:
+        post = resolve_posterior(model, "auto")
+        kind = (
+            f"compressed (rank_y={post.rank_y}, rank_x={post.rank_x})"
+            if hasattr(post, "rank_y") else type(post).__name__
+        )
+    out = args.out or args.ckpt
+    model.save(out)
+    print(f"deployed posterior: {kind}\nsaved {out}")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     """Run the repo's headline TPU benchmark (bench.py)."""
     import runpy
@@ -310,6 +340,20 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the headline TPU benchmark")
     pb.set_defaults(fn=_cmd_bench)
+
+    pp = sub.add_parser(
+        "deploy",
+        help="bake the deployment posterior into a checkpoint "
+             "(skips the O(N^3) host precompute on later loads)",
+    )
+    pp.add_argument("ckpt")
+    pp.add_argument("--out", default=None,
+                    help="output path (default: overwrite ckpt)")
+    pp.add_argument("--rank-y", type=int, default=0,
+                    help="pin the observation quad rank (0 = spectral)")
+    pp.add_argument("--rank-x", type=int, default=0,
+                    help="pin the dynamics quad rank (0 = spectral)")
+    pp.set_defaults(fn=_cmd_deploy)
 
     pd = sub.add_parser("demo", help="render the PF demo animation (GIF)")
     pd.add_argument("ckpt")

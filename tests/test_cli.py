@@ -1,0 +1,61 @@
+"""CLI entry points (python -m gpmdm_tpu): the deploy subcommand.
+
+The heavier commands (train/eval/rollout/view) are exercised end-to-end
+by the verify drives and tests/test_examples.py; deploy is the
+checkpoint-mutation path so it gets a direct in-process test.
+"""
+
+import numpy as np
+
+from gpmdm_tpu import GPMDM
+from gpmdm_tpu.__main__ import main
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.models.compressed import CompressedPosterior
+
+
+def _small_model():
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=40, D=8, seed=3
+    )
+    m = GPMDM(D=8, d=2, n_classes=2, dtype="float64",
+              y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    return m
+
+
+def test_cli_deploy_bakes_compressed_cache(tmp_path, capsys):
+    m = _small_model()
+    src = tmp_path / "m.npz"
+    out = tmp_path / "deployed.npz"
+    m.save(src)
+
+    rc = main(["deploy", str(src), "--out", str(out),
+               "--rank-y", "9", "--rank-x", "7"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "rank_y=9" in msg and str(out) in msg
+
+    m2 = GPMDM.load(out)
+    assert (9, 7, 1e-6) in m2._compressed_cache
+    cp = m2._compressed_cache[(9, 7, 1e-6)]
+    assert isinstance(cp, CompressedPosterior) and cp.rank_y == 9
+    # deployed == freshly-compressed factors from the same params
+    ref = m.compressed_posterior(rank_y=9, rank_x=7)
+    np.testing.assert_allclose(
+        np.asarray(cp.Uy), np.asarray(ref.Uy), rtol=0, atol=1e-12
+    )
+
+
+def test_cli_deploy_default_policy_small_model(tmp_path, capsys):
+    # below AUTO_COMPRESS_N the 'auto' policy deploys exact: deploy just
+    # re-saves (nothing to persist) and reports the posterior type
+    m = _small_model()
+    src = tmp_path / "m.npz"
+    m.save(src)
+    rc = main(["deploy", str(src)])
+    assert rc == 0
+    assert "Posterior" in capsys.readouterr().out
+    m2 = GPMDM.load(src)
+    assert m2._compressed_cache == {}
