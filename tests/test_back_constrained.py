@@ -91,3 +91,35 @@ def test_bc_save_load_roundtrip(bc_model, tmp_path):
         np.asarray(m2._W), np.asarray(m._W), rtol=1e-12
     )
     np.testing.assert_allclose(m2.gpdm_loss(), m.gpdm_loss(), rtol=1e-6)
+
+
+def test_bc_compressed_cache_persists(bc_model, tmp_path, monkeypatch):
+    """BC load rematerializes X (W -> K_b @ W) BEFORE the persisted
+    compressed cache is restored, so the cached factors stay consistent
+    with the rebuilt params (utils/io.py ordering)."""
+    from gpmdm_tpu.models import compressed
+    from gpmdm_tpu.models.compressed import CompressedPosterior
+
+    m, _, _ = bc_model
+    cp = m.compressed_posterior(rank_y=8, rank_x=6)
+    p = tmp_path / "bc_cache.npz"
+    m.save(p)
+
+    m2 = GPMDM.load(p)
+    monkeypatch.setattr(
+        compressed, "compress_host",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("compressed cache missed after BC load")),
+    )
+    cp2 = m2.compressed_posterior(rank_y=8, rank_x=6)
+    assert isinstance(cp2, CompressedPosterior)
+    np.testing.assert_array_equal(np.asarray(cp2.Uy), np.asarray(cp.Uy))
+    monkeypatch.undo()
+    # the factors agree with a fresh compression of the REMATERIALIZED
+    # params (i.e. the cache is not stale vs the X rebuild)
+    m2._precompute_kernel_inverses()
+    fresh = m2.compressed_posterior(rank_y=8, rank_x=6)
+    np.testing.assert_allclose(
+        np.asarray(fresh.inv_mu_y), np.asarray(cp.inv_mu_y),
+        rtol=1e-9, atol=1e-12,
+    )
