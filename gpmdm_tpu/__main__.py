@@ -113,6 +113,13 @@ def _cmd_train(args) -> int:
         lr=args.lr, logger=logger,
     )
     print(f"final loss {losses[-1]:.4e}")
+    if args.deploy:
+        from .filter.particle_filter import resolve_posterior
+
+        post = resolve_posterior(model, "auto")
+        if hasattr(post, "rank_y"):
+            print(f"deployed posterior: compressed "
+                  f"(rank_y={post.rank_y}, rank_x={post.rank_x})")
     model.save(args.out)
     print(f"saved {args.out}")
     return 0
@@ -305,6 +312,9 @@ def main(argv=None) -> int:
     pt.add_argument("--back-constrained", action="store_true",
                     help="back-constrained latents: X = k(Y,Y) W, smooth "
                          "observation->latent inverse map")
+    pt.add_argument("--deploy", action="store_true",
+                    help="also bake the auto-policy deployment posterior "
+                         "into the checkpoint (see the deploy command)")
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate the particle filter on test trials")

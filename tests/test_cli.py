@@ -59,3 +59,19 @@ def test_cli_deploy_default_policy_small_model(tmp_path, capsys):
     assert "Posterior" in capsys.readouterr().out
     m2 = GPMDM.load(src)
     assert m2._compressed_cache == {}
+
+
+def test_cli_train_deploy_flag(tmp_path, capsys, monkeypatch):
+    # --deploy resolves the auto policy before save; for a small synthetic
+    # model that's the exact posterior (nothing persisted) — exercise the
+    # large-N branch by lowering the threshold
+    from gpmdm_tpu.filter import particle_filter as pf
+
+    out = tmp_path / "t.npz"
+    monkeypatch.setattr(pf, "AUTO_COMPRESS_N", 10)
+    rc = main(["train", "--out", str(out), "--latent-dim", "2",
+               "--steps", "3", "--deploy"])
+    assert rc == 0
+    assert "deployed posterior: compressed" in capsys.readouterr().out
+    m = GPMDM.load(out)
+    assert (None, None, 1e-6) in m._compressed_cache
