@@ -81,6 +81,16 @@ def main() -> None:
 
     timer = StageTimer()
     t_setup = time.perf_counter()
+    # Wall attribution per bench section (driver-visible): setup_s is the
+    # whole run, section_s says where it went — the environmental
+    # first-fetch lands in whichever section first touches device->host.
+    section_s = {}
+    _t_sec = [t_setup]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        section_s[name] = round(now - _t_sec[0], 2)
+        _t_sec[0] = now
     _, _, test_seqs, _ = synthetic.make_dataset(
         n_classes=N_CLASSES,
         n_train_seqs=TRAIN_SEQS_PER_CLASS,
@@ -122,6 +132,7 @@ def main() -> None:
     Z = np.concatenate([np.asarray(s) for s in test_seqs] * 10, axis=0)[:N_FRAMES]
     Z = jnp.asarray(Z, dtype=m.dtype)
 
+    _mark("load_model_data")
     scan = jax.jit(
         lambda s, Z, post, params: pf.pf_scan(s, Z, post, params, log_T, cfg, pfc)
     )
@@ -148,6 +159,7 @@ def main() -> None:
             jax.block_until_ready(outs.class_probs)
             wall = min(wall, time.perf_counter() - t0)
     fps = N_FRAMES / wall
+    _mark("headline")
 
     # quality guard: stream held-out labeled trials with the same config —
     # catches perf "wins" that silently destroy classification (e.g. bf16
@@ -172,6 +184,7 @@ def main() -> None:
     # F1 with class 0 positive — the reference's headline quality metric
     # (test_gpmdm_pf.ipynb cell 5; BASELINE.md: >=0.90 per-frame F1)
     frame_f1 = rep.frame_metrics["f1"]
+    _mark("quality_guard")
 
     # secondary metric: the SAME headline model deployed through the
     # low-rank compressed posterior (models/compressed.py): the quad
@@ -194,6 +207,7 @@ def main() -> None:
     )
     comp_acc = rep_cp.frame_metrics["accuracy"]
     comp_f1 = rep_cp.frame_metrics["f1"]
+    _mark("compressed")
 
     # secondary metric: the published problem shape (d=4, the reference's
     # train_gpmdm.ipynb cell 2 config) on a second committed asset.
@@ -227,6 +241,7 @@ def main() -> None:
         d4_acc = rep4.frame_metrics["accuracy"]
         d4_f1 = rep4.frame_metrics["f1"]
 
+    _mark("d4")
     # secondary metric: the 8-class EP-scale config (4x the classes, 2x
     # the training frames of the headline; per-class-signature synthetic
     # task, tools/bench_multiclass_pf.py protocol) — driver-visible so a
@@ -270,6 +285,7 @@ def main() -> None:
         )
         c8_acc = rep8.frame_metrics["accuracy"]
 
+    _mark("c8")
     # secondary metric: the BASELINE 8-class config at its LITERAL scale
     # (8 classes x 8 x 80-frame sequences = Ny 5120, the signature task)
     # through the DEPLOYMENT POLICY posterior (resolve_posterior 'auto':
@@ -331,6 +347,7 @@ def main() -> None:
         )
         c8n5120_acc = rep85.frame_metrics["accuracy"]
 
+    _mark("c8n5120")
     # secondary metric: the BASELINE "hour-long sequences" config at its
     # literal scale — 2 classes x 2 x 27,000-frame training sequences
     # (108k frames, an hour at 30 fps), sparse family (M=128), streaming
@@ -372,6 +389,7 @@ def main() -> None:
         hl_acc = rep_hl.frame_metrics["accuracy"]
         hl_f1 = rep_hl.frame_metrics["f1"]
 
+    _mark("hourlong")
     # secondary metric: BASELINE's multi-filter config — 64 independent
     # banks x 1k particles streaming concurrently (dp-shardable across a
     # slice; measured here on the single available chip).
@@ -394,6 +412,7 @@ def main() -> None:
         jax.block_until_ready(bouts.class_probs)
     bank_wall = (time.perf_counter() - t0) / 3
     bank_agg_fps = B * T_bank / bank_wall
+    _mark("bank64")
 
     print(
         json.dumps(
@@ -447,6 +466,7 @@ def main() -> None:
                     k: round(v / timer.counts[k], 3)
                     for k, v in timer.totals.items()
                 },
+                "section_s": section_s,
             }
         )
     )
