@@ -71,6 +71,18 @@ def _load_dataset(args, D=None, C=None):
         print(f"CMU walk/run: {len(train)} train / {len(test)} test trials, D={cmu_D}")
         return train, test, cmu_D
     print("mocap data not found; using synthetic limit cycles")
+    if (C or 2) != 2:
+        # the fallback uses DEFAULT task parameters; checkpoints trained
+        # on a customized synthetic task (e.g. the 8-class signature
+        # configs: center_spread/class_signature/seed in
+        # tools/train_bench_assets.py) get mismatched test trials here
+        # and score near chance — that is a dataset mismatch, not a
+        # model regression
+        print(
+            f"note: synthetic fallback generates a DEFAULT {C}-class "
+            "task; a checkpoint trained with custom synthetic kwargs "
+            "needs its own guard (tools/eval_asset_guard.py)"
+        )
     D = D or 12
     tr_s, tr_l, te_s, te_l = synthetic.make_dataset(
         n_classes=C or 2, n_train_seqs=4, n_test_seqs=6, seq_len=80, D=D,

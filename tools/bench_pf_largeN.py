@@ -44,6 +44,14 @@ P, T_FRAMES, D = 10_000, 500, 35
 # the class index, so shorter guard trials draw from the same
 # distribution — needed for the 27k-frame hour-long config).
 SHAPES = {
+    # headline-scale guard shapes (same protocol the bench guard uses);
+    # the *f names are the frozen-noise retrain sweeps of the committed
+    # bench_model{,_d4,_c8} assets (train_bench_assets.py)
+    "headlinef": dict(family="exact", n_seqs=4, seq_len=60),
+    "d4f": dict(family="exact", n_seqs=4, seq_len=60, d=4),
+    "c8f": dict(family="exact", n_seqs=2, seq_len=60, C=8, D=10,
+                data=dict(center_spread=3.0, class_signature=1.0,
+                          seed=21)),
     "n2048": dict(family="exact", n_seqs=16, seq_len=64),
     "n5120": dict(family="exact", n_seqs=32, seq_len=80),
     "sparse10240": dict(family="sparse", n_seqs=64, seq_len=80),

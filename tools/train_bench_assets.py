@@ -34,6 +34,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Ny = n_classes * n_train_seqs * seq_len
 CONFIGS = {
     # name: (family, n_train_seqs/class, seq_len, steps, extra)
+    # frozen-noise retrains of the HEADLINE-scale assets (the sigma_n
+    # drift behind BENCHMARKS finding 4 also caps these: hourlong jumped
+    # 0.933 -> 0.9994, c8n5120 0.829 -> 0.9456 when frozen); cut-select
+    # with tools/eval_asset_guard.py and deploy as bench_model{,_d4,_c8}
+    # if the guard beats the committed asset under the same protocol
+    "headlinef": ("exact", 4, 60, 400,
+                  {"model": {"flg_train_y_sigma_n": False,
+                             "flg_train_x_sigma_n": False}}),
+    "d4f": ("exact", 4, 60, 400,
+            {"d": 4,
+             "model": {"flg_train_y_sigma_n": False,
+                       "flg_train_x_sigma_n": False}}),
+    "c8f": ("exact", 2, 60, 400,
+            {"C": 8, "D": 10, "d": 3,
+             "model": {"flg_train_y_sigma_n": False,
+                       "flg_train_x_sigma_n": False},
+             "data": {"center_spread": 3.0, "class_signature": 1.0,
+                      "seed": 21}}),
     "n2048": ("exact", 16, 64, 200, {}),
     "n5120": ("exact", 32, 80, 150, {}),
     "sparse10240": ("sparse", 64, 80, 300, {"m_y": 128, "m_x": 128}),
