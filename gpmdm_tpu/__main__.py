@@ -234,9 +234,22 @@ def _cmd_deploy(args) -> int:
 
     model = GPMDM.load(args.ckpt)
     if args.rank_y or args.rank_x:
+        if not getattr(model, "_deploys_core_posterior", False):
+            # sparse params would survive compress_host structurally but
+            # the result is a wrong-family posterior (SGPR-trained
+            # hyperparameters pushed through the exact-GP quad), and the
+            # O(N^2) f64 Gram is infeasible at sparse scales anyway
+            print(f"--rank-y/--rank-x apply to the exact family only; "
+                  f"{type(model).__name__} deploys its own posterior")
+            return 2
         post = model.compressed_posterior(
             rank_y=args.rank_y or None, rank_x=args.rank_x or None
         )
+        # the pinned factors ARE the deployment: alias them under the
+        # default key so posterior='auto' (GPMDM_PF, CLI eval) picks
+        # them up from the persisted cache instead of re-running the
+        # spectral selection
+        model._compressed_cache[(None, None, 1e-6)] = post
         kind = f"compressed (rank_y={post.rank_y}, rank_x={post.rank_x})"
     else:
         post = resolve_posterior(model, "auto")

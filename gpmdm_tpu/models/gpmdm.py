@@ -123,13 +123,18 @@ class GPMDM:
         persisted compressed cache (resolve_posterior 'auto' at large Ny)
         never pay the O(N^3) host factorization (~30 s at Ny=5120)."""
         if self._posterior is None and getattr(self, "_posterior_pending", False):
-            self._posterior_pending = False
             hp = self._lazy_host_params
-            self._lazy_host_params = None
-            self._posterior = core.precompute_host(
+            built = core.precompute_host(
                 hp if hp is not None else self.params,
                 self.get_Y(), self.config, self.layout,
             )
+            # clear the deferred state only on SUCCESS: a failed build
+            # (degenerate Gram, interrupt) must stay retryable and keep
+            # the stashed host params (re-fetching from device costs the
+            # 2-450 s first-fetch, which the stash exists to avoid)
+            self._posterior = built
+            self._posterior_pending = False
+            self._lazy_host_params = None
         return self._posterior
 
     @posterior.setter
@@ -294,7 +299,13 @@ class GPMDM:
         cache = getattr(self, "_compressed_cache", None)
         if cache is None:
             cache = self._compressed_cache = {}
-        key = (rank_y, rank_x, tol)
+        # normalize to builtin types: numpy ints/floats are valid ranks
+        # but would break the JSON key serialization in save_model
+        key = (
+            None if rank_y is None else int(rank_y),
+            None if rank_x is None else int(rank_x),
+            float(tol),
+        )
         if key not in cache:
             cache[key] = compressed.compress_host(
                 self.params, self.get_Y(), self.config, self.layout,

@@ -91,13 +91,20 @@ def save_model(model, file_path) -> None:
     # built from these exact params and load restores it only after the
     # posterior precompute re-derives them.
     comp = getattr(model, "_compressed_cache", None) or {}
-    comp_keys = []
-    for j, (key, post) in enumerate(comp.items()):
+    comp_keys, comp_idx, _seen = [], [], {}
+    for key, post in comp.items():
         comp_keys.append(list(key))  # (rank_y, rank_x, tol), Nones allowed
-        for f in dataclasses.fields(post):
-            arrays[f"comp_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
+        # aliased entries (e.g. the deploy CLI maps a pinned-rank
+        # posterior under the 'auto' key too) persist their arrays once
+        j = _seen.get(id(post))
+        if j is None:
+            j = _seen[id(post)] = len(_seen)
+            for f in dataclasses.fields(post):
+                arrays[f"comp_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
+        comp_idx.append(j)
     if comp_keys:
         meta["compressed_keys"] = comp_keys
+        meta["compressed_entry_idx"] = comp_idx
     # Sparse posteriors are small (O(M^2 + M D) factors) but cost an
     # O(N M^2) host precompute — persist them so load skips it (~16 s at
     # Ny=108k, M=128).  Exact core.Posterior is NOT persisted: its
@@ -241,12 +248,17 @@ def load_model(cls, file_path):
 
                 from ..models.compressed import CompressedPosterior
 
-                cache = {}
+                cache, built = {}, {}
                 fields = [f.name for f in dataclasses.fields(CompressedPosterior)]
-                for j, key in enumerate(comp_keys):
-                    cache[tuple(key)] = CompressedPosterior(
-                        **{f: jnp.asarray(data[f"comp_{j}_{f}"]) for f in fields}
-                    )
+                # entry_idx maps keys to (possibly shared) array sets;
+                # absent in pre-alias checkpoints where it is 1:1
+                idxs = meta.get("compressed_entry_idx", list(range(len(comp_keys))))
+                for key, j in zip(comp_keys, idxs):
+                    if j not in built:
+                        built[j] = CompressedPosterior(
+                            **{f: jnp.asarray(data[f"comp_{j}_{f}"]) for f in fields}
+                        )
+                    cache[tuple(key)] = built[j]
                 model._compressed_cache = cache
     return model
 

@@ -75,3 +75,52 @@ def test_cli_train_deploy_flag(tmp_path, capsys, monkeypatch):
     assert "deployed posterior: compressed" in capsys.readouterr().out
     m = GPMDM.load(out)
     assert (None, None, 1e-6) in m._compressed_cache
+
+
+def test_cli_deploy_pinned_rank_is_the_auto_deployment(tmp_path, monkeypatch):
+    """deploy --rank-y aliases the pinned factors under the default key,
+    so a later posterior='auto' load deploys THEM (no re-selection, no
+    recompute) — and the alias persists once, not twice."""
+    import numpy as np_
+    from gpmdm_tpu.filter import particle_filter as pf
+    from gpmdm_tpu.models import compressed
+
+    m = _small_model()
+    src = tmp_path / "m.npz"
+    m.save(src)
+    rc = main(["deploy", str(src), "--rank-y", "11", "--rank-x", "6"])
+    assert rc == 0
+
+    with np_.load(src) as data:
+        comp_arrays = [k for k in data.files if k.startswith("comp_") and k.endswith("_Uy")]
+    assert len(comp_arrays) == 1  # aliased entries share one array set
+
+    m2 = GPMDM.load(src)
+    monkeypatch.setattr(pf, "AUTO_COMPRESS_N", 10)
+    monkeypatch.setattr(
+        compressed, "compress_host",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("auto re-ran compression despite pinned bake")),
+    )
+    post = pf.resolve_posterior(m2, "auto")
+    assert post.rank_y == 11 and post.rank_x == 6
+
+
+def test_cli_deploy_rank_rejected_for_sparse(tmp_path, capsys):
+    from gpmdm_tpu import SparseGPMDM
+    from gpmdm_tpu.data import synthetic as syn
+
+    tr, tl, _, _ = syn.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=40, D=8, seed=3
+    )
+    ms = SparseGPMDM(D=8, d=2, n_classes=2, dtype="float64",
+                     n_inducing_y=8, n_inducing_x=8,
+                     y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        ms.add_data(Y, c)
+    ms.init_X()
+    p = tmp_path / "s.npz"
+    ms.save(p)
+    rc = main(["deploy", str(p), "--rank-y", "8"])
+    assert rc == 2
+    assert "exact family only" in capsys.readouterr().out

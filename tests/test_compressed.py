@@ -284,3 +284,71 @@ def test_lazy_posterior_on_load(tmp_path, monkeypatch):
     m2._precompute_kernel_inverses()
     assert m2._compressed_cache == {}
     assert m2.posterior is not None
+
+
+def test_flop_parity_fallback_evicts_cache(trained, monkeypatch):
+    """The q>N/2 fallback must not leave the near-full-rank factors in
+    the cache: save_model persists every entry, and U at q>N/2 is
+    O(N^2)-sized dead weight 'auto' will never deploy."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    from gpmdm_tpu.filter import particle_filter as _pf
+    from gpmdm_tpu.filter.particle_filter import resolve_posterior
+
+    monkeypatch.setattr(_pf, "AUTO_COMPRESS_N", 10)  # fixture Ny < 1024
+    m, _, _ = trained
+    m.params = _dc.replace(
+        m.params,
+        y_log_lengthscales=_jnp.full_like(m.params.y_log_lengthscales, -6.0),
+    )
+    m._precompute_kernel_inverses()
+    with pytest.warns(UserWarning, match="FLOP-parity"):
+        resolve_posterior(m, "auto")
+    assert m._compressed_cache == {}
+    # restore for any later module-fixture users
+    m.params = _dc.replace(
+        m.params,
+        y_log_lengthscales=_jnp.zeros_like(m.params.y_log_lengthscales),
+    )
+    m._precompute_kernel_inverses()
+
+
+def test_lazy_posterior_build_failure_is_retryable(trained, tmp_path, monkeypatch):
+    """A failed deferred build must keep the pending state (and the host
+    params stash) so a later access retries instead of silently
+    returning None forever."""
+    m, _, _ = trained
+    path = tmp_path / "retry.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2._posterior_pending
+    calls = {"n": 0}
+    orig = core.precompute_host
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise np.linalg.LinAlgError("synthetic failure")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(core, "precompute_host", flaky)
+    with pytest.raises(np.linalg.LinAlgError):
+        _ = m2.posterior
+    assert m2._posterior_pending and m2._lazy_host_params is not None
+    p = m2.posterior  # retry succeeds
+    assert p is not None and calls["n"] == 2
+
+
+def test_compressed_key_normalization_saves(trained, tmp_path):
+    """numpy-integer ranks are valid cache keys and must not break the
+    JSON key serialization in save_model."""
+    m, _, _ = trained
+    cp = m.compressed_posterior(rank_y=np.int64(6), rank_x=np.int32(5))
+    assert (6, 5, 1e-6) in m._compressed_cache
+    path = tmp_path / "npkeys.npz"
+    m.save(path)  # must not raise
+    m2 = GPMDM.load(path)
+    cp2 = m2._compressed_cache[(6, 5, 1e-6)]
+    np.testing.assert_array_equal(np.asarray(cp2.Uy), np.asarray(cp.Uy))
