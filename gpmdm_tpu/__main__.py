@@ -250,6 +250,16 @@ def _cmd_deploy(args) -> int:
         # them up from the persisted cache instead of re-running the
         # spectral selection
         model._compressed_cache[(None, None, 1e-6)] = post
+        from .filter.particle_filter import AUTO_COMPRESS_MAX_Q_FRAC
+
+        if post.rank_y > AUTO_COMPRESS_MAX_Q_FRAC * post.Uy.shape[0]:
+            print(
+                f"note: rank_y={post.rank_y} is past the q=N/2 "
+                "FLOP-parity bound — posterior='auto' deploys exact "
+                "there, so only an explicit posterior='compressed' / "
+                "compressed_posterior(rank_y=...) deployment uses "
+                "these factors (save also drops the auto alias)"
+            )
         kind = f"compressed (rank_y={post.rank_y}, rank_x={post.rank_x})"
     else:
         post = resolve_posterior(model, "auto")

@@ -420,15 +420,11 @@ def resolve_posterior(gpmdm, posterior="auto"):
             if cp.rank_y > AUTO_COMPRESS_MAX_Q_FRAC * N:
                 # past FLOP parity (2 O(NqP) vs 1 O(N^2 P)) compression
                 # cannot pay; deploy exact (warn_if_unsafe_exact still
-                # fires at deploy time where that is known-risky).
-                # Evict the never-deployed factors: U at q > N/2 is
-                # O(N^2)-sized, and save_model persists every cache
-                # entry — without eviction a deploy/save after this
-                # fallback would bake >100 MB of dead weight into the
-                # checkpoint.
-                cache = getattr(gpmdm, "_compressed_cache", None) or {}
-                for k in [k for k, v in cache.items() if v is cp]:
-                    cache.pop(k)
+                # fires at deploy time where that is known-risky).  The
+                # cache entry stays — GPMDM_PF re-resolves 'auto' per
+                # call, so evicting would re-run the O(N^3) eigh every
+                # frame; save_model instead skips persisting auto-key
+                # entries past FLOP parity (utils/io.py).
                 import warnings
 
                 warnings.warn(

@@ -92,7 +92,19 @@ def save_model(model, file_path) -> None:
     # posterior precompute re-derives them.
     comp = getattr(model, "_compressed_cache", None) or {}
     comp_keys, comp_idx, _seen = [], [], {}
+    if comp:
+        from ..filter.particle_filter import AUTO_COMPRESS_MAX_Q_FRAC
     for key, post in comp.items():
+        if (key[0] is None
+                and post.rank_y > AUTO_COMPRESS_MAX_Q_FRAC * post.Uy.shape[0]):
+            # auto-key entry past the q = N/2 FLOP-parity bound:
+            # resolve_posterior('auto') warns and deploys exact for it
+            # (particle_filter.AUTO_COMPRESS_MAX_Q_FRAC), so persisting
+            # would bake O(N^2)-sized never-deployed factors into the
+            # checkpoint.  It stays cached in memory (GPMDM_PF
+            # re-resolves per call); an EXPLICITLY pinned near-full
+            # rank (key[0] set) is the user's choice and persists.
+            continue
         comp_keys.append(list(key))  # (rank_y, rank_x, tol), Nones allowed
         # aliased entries (e.g. the deploy CLI maps a pinned-rank
         # posterior under the 'auto' key too) persist their arrays once

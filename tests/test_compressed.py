@@ -286,9 +286,12 @@ def test_lazy_posterior_on_load(tmp_path, monkeypatch):
     assert m2.posterior is not None
 
 
-def test_flop_parity_fallback_evicts_cache(trained, monkeypatch):
-    """The q>N/2 fallback must not leave the near-full-rank factors in
-    the cache: save_model persists every entry, and U at q>N/2 is
+def test_flop_parity_fallback_cache_stays_but_save_skips(
+    trained, tmp_path, monkeypatch
+):
+    """The q>N/2 fallback keeps the factors CACHED (GPMDM_PF re-resolves
+    'auto' per call — evicting would re-run the O(N^3) eigh every frame)
+    but save_model must NOT persist the auto-key entry: U at q>N/2 is
     O(N^2)-sized dead weight 'auto' will never deploy."""
     import dataclasses as _dc
 
@@ -306,7 +309,23 @@ def test_flop_parity_fallback_evicts_cache(trained, monkeypatch):
     m._precompute_kernel_inverses()
     with pytest.warns(UserWarning, match="FLOP-parity"):
         resolve_posterior(m, "auto")
-    assert m._compressed_cache == {}
+    # cached (cheap repeated resolves) ...
+    assert (None, None, 1e-6) in m._compressed_cache
+    with pytest.warns(UserWarning, match="FLOP-parity"):
+        resolve_posterior(m, "auto")  # dict hit, no recompute (fast)
+    # ... but not persisted
+    path = tmp_path / "flat.npz"
+    m.save(path)
+    with np.load(path) as data:
+        assert not [k for k in data.files if k.startswith("comp_")]
+    m2 = GPMDM.load(path)
+    assert m2._compressed_cache == {}
+    # an EXPLICITLY pinned near-full rank is the user's choice: persists
+    N = m.layout.Ny
+    m.compressed_posterior(rank_y=N)
+    m.save(path)
+    with np.load(path) as data:
+        assert [k for k in data.files if k.startswith("comp_")]
     # restore for any later module-fixture users
     m.params = _dc.replace(
         m.params,
