@@ -144,6 +144,28 @@ def test_posterior_predictions_match(pair):
         np.testing.assert_allclose(np.asarray(vo), vr.detach().numpy(), rtol=1e-4, atol=1e-8)
 
 
+def test_nmse_diagnostics_match_reference(pair):
+    """The published NMSE diagnostics (BASELINE.md rows; reference
+    get_latent_map_performance :1199, get_latent_map_performance_for_class
+    :1241, get_dynamics_map_performance_for_class :1147) agree, including
+    the floor-division quirk (``floored=True``)."""
+    ref, ours, _ = pair
+
+    _, _, _, nmse_r = ref.get_latent_map_performance()
+    _, _, _, nmse_o = ours.get_latent_map_performance(floored=True)
+    np.testing.assert_allclose(float(nmse_o), float(nmse_r), rtol=1e-9)
+
+    for c in range(2):
+        _, _, _, nr = ref.get_latent_map_performance_for_class(c)
+        _, _, _, no = ours.get_latent_map_performance_for_class(c, floored=True)
+        np.testing.assert_allclose(float(no), float(nr), rtol=1e-9)
+        _, _, _, _, dr = ref.get_dynamics_map_performance_for_class(c)
+        _, _, _, _, do = ours.get_dynamics_map_performance_for_class(
+            c, floored=True
+        )
+        np.testing.assert_allclose(float(do), float(dr), rtol=1e-9)
+
+
 def test_checkpoint_cross_load(pair, tmp_path):
     """A checkpoint written by the actual reference save() loads into our
     GPMDM with identical parameters and loss."""
