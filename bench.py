@@ -33,8 +33,40 @@ TRAIN_SEQS_PER_CLASS, SEQ_LEN = 4, 60  # Ntrain = 480 frames
 
 def main() -> None:
     import os
+    import sys
 
     import jax
+
+    # Fail fast when the TPU tunnel is down: backend init (jax.devices())
+    # hangs indefinitely in that state (observed 2026-08-17/18), which
+    # would otherwise burn the driver's whole bench timeout with no
+    # diagnostic.  A healthy init returns in seconds; 900 s is generous.
+    import threading
+
+    _probe_result: list = []
+
+    def _probe_backend() -> None:
+        try:
+            _probe_result.append(jax.devices()[0])
+        except Exception as e:  # pragma: no cover - env-dependent
+            _probe_result.append(e)
+
+    _probe = threading.Thread(target=_probe_backend, daemon=True)
+    _probe.start()
+    _probe.join(timeout=900)
+    if not _probe_result:
+        print(
+            "bench.py: jax backend init did not respond within 900 s "
+            "(TPU tunnel down?) — aborting without a measurement.",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(3)  # plain sys.exit would block on the hung init thread
+    if isinstance(_probe_result[0], Exception):
+        print(f"bench.py: jax backend init failed: {_probe_result[0]!r}",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
 
     # Persistent compile cache lives IN THE REPO (committed), not /tmp:
     # round-2 diagnosis (tools/diag_cache.py) showed the cache key is fully
@@ -46,6 +78,10 @@ def main() -> None:
     _cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_assets", "jax_cache"
     )
+    # CPU-forced runs (local smoke tests via jax_platforms='cpu') must not
+    # pollute the committed TPU cache with host-platform entries.
+    if "cpu" in (jax.config.jax_platforms or ""):
+        _cache_dir = "/tmp/jax_bench_cache"
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         _probe = os.path.join(_cache_dir, ".w")
