@@ -166,13 +166,13 @@ def _cmd_eval(args) -> int:
     if hasattr(post, "Uy"):
         q = post.rank_y
         print(f"compressed posterior: quad rank {q}/{model.layout.Ny}")
+    pf_kw = dict(resampling=args.resampling,
+                 recon_precision=args.recon_precision)
     if args.banked:
         report = evaluate_pf_banked(
             model, T, seqs, labels,
             burn_in=args.burn_in, seed=args.seed,
-            config=PFConfig(
-                num_particles=args.particles, resampling=args.resampling
-            ),
+            config=PFConfig(num_particles=args.particles, **pf_kw),
             logger=_make_logger(args),
             posterior=post,
         )
@@ -181,7 +181,7 @@ def _cmd_eval(args) -> int:
             model,
             T,
             num_particles=args.particles,
-            config=PFConfig(resampling=args.resampling),
+            config=PFConfig(**pf_kw),
             seed=args.seed,
             posterior=post,
         )
@@ -374,6 +374,13 @@ def main(argv=None) -> int:
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")
+    pe.add_argument("--recon-precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="compressed backend only: MXU precision of the "
+                         "low-rank quad's residual reconstruction matmul "
+                         "(config.py PFConfig.recon_precision; 'default' "
+                         "is a measured +11%% fps on some models but "
+                         "collapses others — check the printed accuracy)")
     pe.set_defaults(fn=_cmd_eval)
 
     pr = sub.add_parser("rollout", help="autoregressive latent rollout")

@@ -167,6 +167,19 @@ class PFConfig:
         fused kernels (``pallas='on'``) run every dot at ``precision``
         and ignore this knob, as does the sparse posterior (M-sized
         triangular solves, no quad matmul).
+    recon_precision:
+        Compressed-posterior backend only: MXU precision for the residual
+        reconstruction matmul ``k - U (U^T k)`` of the stable low-rank quad
+        (models/compressed.py) — roughly half that backend's FLOP budget.
+        Its error enters the quad damped by ``||residual||/||k||`` (unlike
+        the raw quad, whose error is undamped), so it tolerates fewer MXU
+        passes than ``quad_precision`` on SOME models: measured 'default'
+        (1-pass bf16) is +11% fps at full accuracy on the n5120 asset
+        (q/N=0.037) but collapses the flat-spectrum c8n5120 asset
+        (q/N=0.25) to 0.43 accuracy — adopt only under a measured guard
+        (docs/BENCHMARKS.md "recon-precision grid").  None (default)
+        follows ``quad_precision``.  Ignored by the exact and sparse
+        backends (no reconstruction matmul).
     """
 
     num_particles: int = 100
@@ -191,6 +204,7 @@ class PFConfig:
     pallas: str = "auto"
     resample_threshold: float = 1.0
     quad_precision: str | None = None
+    recon_precision: str | None = None
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
@@ -202,6 +216,10 @@ class PFConfig:
         if self.quad_precision not in (None, "default", "high", "highest"):
             raise ValueError(
                 "quad_precision must be None, 'default', 'high' or 'highest'"
+            )
+        if self.recon_precision not in (None, "default", "high", "highest"):
+            raise ValueError(
+                "recon_precision must be None, 'default', 'high' or 'highest'"
             )
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError("pallas must be 'auto', 'on' or 'off'")
@@ -235,3 +253,17 @@ class PFConfig:
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
         }[self.quad_precision]
+
+    @property
+    def lax_recon_precision(self):
+        """None when unset — the compressed backend then falls back to its
+        own default (= the quad precision), matching prior behavior."""
+        import jax
+
+        if self.recon_precision is None:
+            return None
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.recon_precision]

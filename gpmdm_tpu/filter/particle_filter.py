@@ -574,6 +574,7 @@ def pf_step(
         means, variances = predict_x_all_classes(
             post, params, xin, cfg, precision=pf_cfg.lax_precision,
             quad_precision=pf_cfg.lax_quad_precision,
+            recon_precision=pf_cfg.lax_recon_precision,
         )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
@@ -620,6 +621,7 @@ def pf_step(
             with_noise=pf_cfg.obs_noise_in_weights,
             precision=pf_cfg.lax_precision,
             quad_precision=pf_cfg.lax_quad_precision,
+            recon_precision=pf_cfg.lax_recon_precision,
         )  # (P, D)
         var_y = jnp.maximum(var_y, 1e-12)
         log_lik = observation_log_lik(

@@ -440,9 +440,12 @@ def predict_y(
     with_noise: bool = False,
     precision=_PREC,
     quad_precision=None,
+    recon_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation GP posterior (reference map_x_to_y,
-    gpmdm.py:923-963).
+    gpmdm.py:923-963).  ``recon_precision`` is accepted for interface
+    parity with the compressed backend and ignored (the exact quad has no
+    reconstruction matmul).
 
     Returns mean (N*, D) and per-dimension variance (N*, D) where the common
     variance is scaled by exp(y_log_lambdas)^-2 per output dimension.
@@ -504,6 +507,7 @@ def predict_x_all_classes(
     with_noise: bool = False,
     precision=_PREC,
     quad_precision=None,
+    recon_precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics GP posterior for *every* class at once.
 

@@ -110,6 +110,33 @@ def test_pf_dispatch_and_end_to_end(trained):
     flt.update(np.asarray(te[0][0]))  # per-frame path compiles + runs
 
 
+def test_recon_precision_knob(trained):
+    """PFConfig.recon_precision threads into every posterior backend
+    without changing semantics (MXU precision is a no-op on CPU, so the
+    outputs must be bit-identical to the default config), and the config
+    validates its values.  The TPU-measured effect of the knob lives in
+    tools/exp_compressed_recon_precision.py / docs/BENCHMARKS.md."""
+    m, te, tel = trained
+    T = [[0.9, 0.1], [0.1, 0.9]]
+    Z = np.asarray(te[0][:20])
+    with pytest.raises(ValueError):
+        PFConfig(recon_precision="bf16")
+    assert PFConfig().lax_recon_precision is None
+    assert (
+        PFConfig(recon_precision="high").lax_recon_precision
+        == jax.lax.Precision.HIGH
+    )
+    for post in (None, m.compressed_posterior(tol=1e-6)):
+        base = GPMDM_PF(m, T, 100, posterior=post, seed=3).run(Z)
+        knob = GPMDM_PF(
+            m, T, 100, posterior=post, seed=3,
+            config=PFConfig(num_particles=100, recon_precision="default"),
+        ).run(Z)
+        np.testing.assert_array_equal(
+            np.asarray(base.class_probs), np.asarray(knob.class_probs)
+        )
+
+
 def test_auto_posterior_policy(trained):
     """posterior='auto' (the GPMDM_PF default) deploys exact below
     AUTO_COMPRESS_N and the compressed posterior above it; 'exact'

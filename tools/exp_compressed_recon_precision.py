@@ -13,13 +13,19 @@ This experiment grids recon_precision over {highest, high, default} on
 the committed large-N assets, reporting fps AND the banked accuracy
 guard per row (a fast-but-wrong setting cannot report a win).
 
+MEASURED (one v5e chip, P=10k; docs/BENCHMARKS.md "recon-precision
+grid"): the answer is config-dependent — n5120 (q/N=0.037) runs
+'default' at +11% fps over 'high' at full accuracy (315.8 fps, 0.9989),
+while the flat-spectrum c8n5120 (q/N=0.25) collapses to 0.43 accuracy
+at 'default'.  'high' (= the quad fallback) stays the shipped default;
+PFConfig(recon_precision=...) / eval --recon-precision is the opt-in.
+
 Usage: python tools/exp_compressed_recon_precision.py [--configs n5120,c8n5120]
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -47,11 +53,7 @@ SHAPES = {
                               seed=21)),
 }
 
-_PRECS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}
+_PRECS = ("highest", "high", "default")
 
 
 def main() -> None:
@@ -63,12 +65,7 @@ def main() -> None:
     from gpmdm_tpu import GPMDM, PFConfig
     from gpmdm_tpu.data import synthetic
     from gpmdm_tpu.filter import particle_filter as pf
-    from gpmdm_tpu.models import compressed
     from gpmdm_tpu.utils.metrics import evaluate_pf_banked
-
-    pfc = PFConfig(num_particles=args.particles)
-    orig_py = compressed.predict_y
-    orig_px = compressed.predict_x_all_classes
 
     for name in args.configs.split(","):
         shape = SHAPES[name]
@@ -97,53 +94,41 @@ def main() -> None:
         )[:T_FRAMES]
         Z = jnp.asarray(Z, dtype=m.dtype)
 
-        for rp_name, rp in _PRECS.items():
-            # inject recon_precision through the filter's module-level
-            # predictor lookup (resolved at trace time)
-            compressed.predict_y = functools.partial(
-                orig_py, recon_precision=rp
-            )
-            compressed.predict_x_all_classes = functools.partial(
-                orig_px, recon_precision=rp
-            )
-            # the banked-guard scan is cached keyed on (cfg, pf_cfg) —
-            # clear it so each precision actually retraces
-            pf._banked_scan_jit.cache_clear()
-            pf._instance_jits.cache_clear()
-            try:
-                scan = jax.jit(
-                    lambda s, Z, post, params: pf.pf_scan(
-                        s, Z, post, params, log_T, m.config, pfc
-                    )
+        for rp_name in _PRECS:
+            # recon_precision is a first-class PFConfig knob; distinct
+            # configs hash differently, so each row traces fresh.
+            pfc = PFConfig(num_particles=args.particles,
+                           recon_precision=rp_name)
+            scan = jax.jit(
+                lambda s, Z, post, params, _cfg=m.config, _pfc=pfc: pf.pf_scan(
+                    s, Z, post, params, log_T, _cfg, _pfc
                 )
-                state = pf.pf_init(
-                    cp, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
-                )
+            )
+            state = pf.pf_init(
+                cp, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+            )
+            _, outs = scan(state, Z, cp, m.params)
+            jax.block_until_ready(outs.class_probs)
+            wall = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
                 _, outs = scan(state, Z, cp, m.params)
                 jax.block_until_ready(outs.class_probs)
-                wall = np.inf
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    _, outs = scan(state, Z, cp, m.params)
-                    jax.block_until_ready(outs.class_probs)
-                    wall = min(wall, time.perf_counter() - t0)
-                rep = evaluate_pf_banked(
-                    m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
-                    burn_in=5, seed=0, config=pfc, posterior=cp,
-                    max_banks=shape.get("guard_banks"),
-                )
-                print(json.dumps({
-                    "config": name,
-                    "recon_precision": rp_name,
-                    "rank_y": cp.rank_y,
-                    "fps": round(T_FRAMES / wall, 1),
-                    "per_frame_ms": round(1000 * wall / T_FRAMES, 4),
-                    "frame_acc": round(rep.frame_metrics["accuracy"], 4),
-                    "frame_f1": round(rep.frame_metrics["f1"], 4),
-                }), flush=True)
-            finally:
-                compressed.predict_y = orig_py
-                compressed.predict_x_all_classes = orig_px
+                wall = min(wall, time.perf_counter() - t0)
+            rep = evaluate_pf_banked(
+                m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
+                burn_in=5, seed=0, config=pfc, posterior=cp,
+                max_banks=shape.get("guard_banks"),
+            )
+            print(json.dumps({
+                "config": name,
+                "recon_precision": rp_name,
+                "rank_y": cp.rank_y,
+                "fps": round(T_FRAMES / wall, 1),
+                "per_frame_ms": round(1000 * wall / T_FRAMES, 4),
+                "frame_acc": round(rep.frame_metrics["accuracy"], 4),
+                "frame_f1": round(rep.frame_metrics["f1"], 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":
