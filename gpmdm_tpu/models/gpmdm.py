@@ -307,8 +307,18 @@ class GPMDM:
             float(tol),
         )
         if key not in cache:
+            # a lazily-loaded checkpoint stashes numpy host params for the
+            # deferred exact build — use them here too, or this cache miss
+            # pays the device->host first-fetch (2-450 s) the stash exists
+            # to avoid
+            hp = (
+                self._lazy_host_params
+                if getattr(self, "_posterior_pending", False)
+                else None
+            )
             cache[key] = compressed.compress_host(
-                self.params, self.get_Y(), self.config, self.layout,
+                hp if hp is not None else self.params,
+                self.get_Y(), self.config, self.layout,
                 rank_y=rank_y, rank_x=rank_x, tol=tol,
             )
         return cache[key]

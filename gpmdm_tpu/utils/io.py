@@ -187,6 +187,13 @@ def load_model(cls, file_path):
             dtype=cfg.dtype,
             balance_fix=cfg.balance_fix,
         )
+        # The ctor kwargs above cover the reference schema, but config
+        # fields the ctor does not accept (class_jitter today; anything
+        # added later) would silently revert to defaults — trust the
+        # serialized config wholesale instead.  (The BCGPMDM ctor derives
+        # back_constraint_ls into config itself; cfg carries the same
+        # saved value, so this overwrite is consistent there too.)
+        model.config = cfg
         for c, n_seq in enumerate(meta["n_sequences_per_class"]):
             for i in range(n_seq):
                 model.add_data(data[f"obs_{c}_{i}"], c)

@@ -300,6 +300,23 @@ def test_lazy_posterior_on_load(tmp_path, monkeypatch):
     auto2 = resolve_posterior(m2, "auto")
     assert isinstance(auto2, CompressedPosterior)
     assert m2._posterior is None  # still deferred
+    # a cache-MISS compressed build while still deferred must run from the
+    # stashed numpy host params, not the device params (a device fetch
+    # here would pay the 2-450 s first-fetch the stash exists to avoid)
+    import gpmdm_tpu.models.compressed as _comp
+
+    orig_ch = _comp.compress_host
+
+    def _spy(params, *a, **k):
+        assert isinstance(params.X, np.ndarray), (
+            "device params reached compress_host on a lazily-loaded model"
+        )
+        return orig_ch(params, *a, **k)
+
+    monkeypatch.setattr(_comp, "compress_host", _spy)
+    pinned = m2.compressed_posterior(rank_y=5, rank_x=5)
+    assert pinned.rank_y == 5
+    assert m2._posterior is None  # the miss did not force the exact build
     monkeypatch.undo()
     p = m2.posterior  # first access builds from the stashed host params
     assert p is not None and not m2._posterior_pending

@@ -157,6 +157,22 @@ def test_save_load_non_npz_suffix(tmp_path):
     np.testing.assert_allclose(np.asarray(m2.params.X), np.asarray(m.params.X))
 
 
+def test_save_load_preserves_full_config(tmp_path):
+    """Config fields the GPMDM ctor does not accept as kwargs
+    (class_jitter today) must still survive a save/load roundtrip — the
+    loader trusts the serialized config wholesale rather than whatever
+    subset the ctor re-derives (regression: load used to silently revert
+    class_jitter to its default)."""
+    m = small_model()
+    m.config = m.config.replace(class_jitter=3e-5)
+    m._precompute_kernel_inverses()  # rebuild posterior under the new jitter
+    path = tmp_path / "model.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2.config.class_jitter == 3e-5
+    assert m2.config == m.config
+
+
 def test_train_adam_emits_logger_records(tmp_path):
     """GPMDM.train_adam(logger=) produces structured loss / steps-per-sec
     series plus a JSONL file (SURVEY §5 metrics wiring)."""
