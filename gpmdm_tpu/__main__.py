@@ -167,7 +167,8 @@ def _cmd_eval(args) -> int:
         q = post.rank_y
         print(f"compressed posterior: quad rank {q}/{model.layout.Ny}")
     pf_kw = dict(resampling=args.resampling,
-                 recon_precision=args.recon_precision)
+                 recon_precision=args.recon_precision,
+                 fuse_mean_quad=args.fuse_mean_quad)
     if args.banked:
         report = evaluate_pf_banked(
             model, T, seqs, labels,
@@ -381,6 +382,11 @@ def main(argv=None) -> int:
                          "(config.py PFConfig.recon_precision; 'default' "
                          "is a measured +11%% fps on some models but "
                          "collapses others — check the printed accuracy)")
+    pe.add_argument("--fuse-mean-quad", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="group the GP mean matmul into the variance-quad "
+                         "matmul (one MXU call; +4%% fps at C=2, -23%% at "
+                         "C=8 — 'auto' fuses iff n_classes <= 2)")
     pe.set_defaults(fn=_cmd_eval)
 
     pr = sub.add_parser("rollout", help="autoregressive latent rollout")

@@ -180,6 +180,19 @@ class PFConfig:
         (docs/BENCHMARKS.md "recon-precision grid").  None (default)
         follows ``quad_precision``.  Ignored by the exact and sparse
         backends (no reconstruction matmul).
+    fuse_mean_quad:
+        Group the GP mean matmul into the variance-quad/projection matmul
+        against the shared star kernel ([A^T; K_inv] @ Kstar, one MXU call
+        and one fewer HBM read of Kstar per GP per frame).  Measured
+        CONFIG-DEPENDENT (tools/exp_fused_mean_quad.py): +4.3% headline
+        fps at C=2 but -23% on the C=8 asset (the batched per-class lhs
+        breaks XLA's einsum tiling), and -13% under bank-vmap even at
+        C=2.  'auto' (default) fuses iff n_classes <= 2 on the
+        single-filter path and never on the banked path; 'on'/'off'
+        force it everywhere.  Only active when the mean and quad share
+        an MXU precision (quad_precision unset or equal to precision);
+        ignored by the sparse backend and the Pallas opt-in kernels
+        (which fuse differently).
     """
 
     num_particles: int = 100
@@ -205,6 +218,7 @@ class PFConfig:
     resample_threshold: float = 1.0
     quad_precision: str | None = None
     recon_precision: str | None = None
+    fuse_mean_quad: str = "auto"
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
@@ -223,6 +237,8 @@ class PFConfig:
             )
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError("pallas must be 'auto', 'on' or 'off'")
+        if self.fuse_mean_quad not in ("auto", "on", "off"):
+            raise ValueError("fuse_mean_quad must be 'auto', 'on' or 'off'")
         if not (0.0 < self.resample_threshold <= 1.0):
             raise ValueError("resample_threshold must be in (0, 1]")
         if self.resample_threshold < 1.0 and not self.accumulate_weights:
@@ -253,6 +269,12 @@ class PFConfig:
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
         }[self.quad_precision]
+
+    @property
+    def fused_arg(self):
+        """The ``fused=`` argument for the posterior predict functions:
+        None ('auto', backends gate on n_classes <= 2) or a forced bool."""
+        return {"auto": None, "on": True, "off": False}[self.fuse_mean_quad]
 
     @property
     def lax_recon_precision(self):

@@ -575,6 +575,7 @@ def pf_step(
             post, params, xin, cfg, precision=pf_cfg.lax_precision,
             quad_precision=pf_cfg.lax_quad_precision,
             recon_precision=pf_cfg.lax_recon_precision,
+            fused=pf_cfg.fused_arg,
         )  # (C, P, d)
     mean = _select_by_class(means, c)
     var = jnp.maximum(_select_by_class(variances, c), 1e-12)
@@ -622,6 +623,7 @@ def pf_step(
             precision=pf_cfg.lax_precision,
             quad_precision=pf_cfg.lax_quad_precision,
             recon_precision=pf_cfg.lax_recon_precision,
+            fused=pf_cfg.fused_arg,
         )  # (P, D)
         var_y = jnp.maximum(var_y, 1e-12)
         log_lik = observation_log_lik(
@@ -808,6 +810,18 @@ def bucket_length(T: int, min_bucket: int = 64) -> int:
     return b
 
 
+def _bank_pf_cfg(pf_cfg: PFConfig) -> PFConfig:
+    """Resolve 'auto' knobs for the BANKED path.  The fused mean+quad
+    grouping regresses under bank-vmap even at C=2 (measured 0.450 vs
+    0.389 ms/bank-frame at 12x10k banks on v5e — batching the concatenated
+    lhs breaks XLA's einsum tiling the same way the C=8 single-filter case
+    does), so 'auto' means 'off' here; forced 'on'/'off' pass through.
+    tools/exp_fused_mean_quad.py --banks reproduces the measurement."""
+    if pf_cfg.fuse_mean_quad == "auto":
+        return dataclasses.replace(pf_cfg, fuse_mean_quad="off")
+    return pf_cfg
+
+
 def pf_scan_bank(
     states: PFState,
     Z: jax.Array,
@@ -823,6 +837,7 @@ def pf_scan_bank(
     # and measured SLOWER than in-scan RNG at every bank size (v5e:
     # 64x1k banks 20.2k vs 18.7k agg fps; 12x10k banks 0.47 vs 0.54
     # ms/bank-frame) — the VPU threefry overlaps the MXU matmuls anyway.
+    pf_cfg = _bank_pf_cfg(pf_cfg)
     return jax.vmap(
         lambda s, z: pf_scan(s, z, post, params, log_T, cfg, pf_cfg,
                              pregen=False)
@@ -846,6 +861,7 @@ def pf_scan_bank_masked(
     reference's per-trial Python loop (test_gpmdm_pf.ipynb cell 4) with
     one compiled call."""
     # pregen=False: see pf_scan_bank
+    pf_cfg = _bank_pf_cfg(pf_cfg)
     return jax.vmap(
         lambda s, z, v: pf_scan_masked(s, z, v, post, params, log_T, cfg,
                                        pf_cfg, pregen=False)

@@ -213,6 +213,7 @@ def predict_y(
     precision=_PREC,
     quad_precision=None,
     recon_precision=None,
+    fused: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation posterior with the compressed quad (same
     contract as core.predict_y; mean is exact, variance rank-q).
@@ -221,18 +222,30 @@ def predict_y(
     RECONSTRUCTION matmul (k - U (U^T k)): its error enters the quad
     damped by ||residual||/||k|| (module docstring), so it can tolerate
     cheaper MXU passes than the eigenbasis projection.  Defaults to
-    ``quad_precision``."""
+    ``quad_precision``.  ``fused`` (None -> fuse iff n_classes <= 2):
+    see core.predict_y."""
     if quad_precision is None:
         quad_precision = precision
     if recon_precision is None:
         recon_precision = quad_precision
+    if fused is None:
+        fused = cfg.n_classes <= 2
     Kstar = K.rbf_kernel(
         post.X, Xstar, params.y_log_lengthscales, precision=precision
     )  # (Ny, P)
-    mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (P, D)
     # well-conditioned quad split (module docstring): exact 1/mu weights in
     # the kept eigenspace + 1/s on the explicitly-reconstructed residual
-    UK = jnp.matmul(post.Uy.T, Kstar, precision=quad_precision)  # (qy, P)
+    if fused and quad_precision == precision:
+        # fused mean+projection against the shared star kernel (one MXU
+        # call; see core.predict_y / tools/exp_fused_mean_quad.py)
+        D = post.Ay.shape[1]
+        lhs = jnp.concatenate([post.Ay.T, post.Uy.T], axis=0)  # (D+qy, Ny)
+        out = jnp.matmul(lhs, Kstar, precision=precision)
+        mean = out[:D].T
+        UK = out[D:]  # (qy, P)
+    else:
+        mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (P, D)
+        UK = jnp.matmul(post.Uy.T, Kstar, precision=quad_precision)  # (qy, P)
     resid = Kstar - jnp.matmul(post.Uy, UK, precision=recon_precision)
     quad = jnp.sum(post.inv_mu_y[:, None] * UK * UK, axis=0) + (
         post.inv_s2y * jnp.sum(resid * resid, axis=0)
@@ -255,14 +268,17 @@ def predict_x_all_classes(
     precision=_PREC,
     quad_precision=None,
     recon_precision=None,
+    fused: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics posterior for every class with compressed quads
-    (same contract as core.predict_x_all_classes).  ``recon_precision``:
-    see predict_y."""
+    (same contract as core.predict_x_all_classes).  ``recon_precision``
+    and ``fused``: see predict_y."""
     if quad_precision is None:
         quad_precision = precision
     if recon_precision is None:
         recon_precision = quad_precision
+    if fused is None:
+        fused = cfg.n_classes <= 2
     kst = jax.vmap(
         lambda Xin_blk: K.x_kernel(
             Xin_blk,
@@ -275,10 +291,21 @@ def predict_x_all_classes(
         )
     )(post.Xin_c)
     kst = kst * post.mask_c[:, :, None]  # (C, n_max, P)
-    mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
     # well-conditioned quad split (module docstring); padded rows/eigen
     # slots are zero so they drop out of both terms correctly
-    UK = jnp.einsum("cnq,cnp->cqp", post.Uxc, kst, precision=quad_precision)
+    if fused and quad_precision == precision:
+        # fused mean+projection per class (see core.predict_x_all_classes)
+        d = post.Axc.shape[2]
+        lhs = jnp.concatenate(
+            [jnp.swapaxes(post.Axc, 1, 2), jnp.swapaxes(post.Uxc, 1, 2)],
+            axis=1,
+        )  # (C, d+qx, n_max)
+        out = jnp.einsum("cmn,cnp->cmp", lhs, kst, precision=precision)
+        mean = jnp.swapaxes(out[:, :d], 1, 2)  # (C, P, d)
+        UK = out[:, d:]  # (C, qx, P)
+    else:
+        mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
+        UK = jnp.einsum("cnq,cnp->cqp", post.Uxc, kst, precision=quad_precision)
     resid = kst - jnp.einsum(
         "cnq,cqp->cnp", post.Uxc, UK, precision=recon_precision
     )

@@ -441,11 +441,14 @@ def predict_y(
     precision=_PREC,
     quad_precision=None,
     recon_precision=None,
+    fused: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Latent -> observation GP posterior (reference map_x_to_y,
     gpmdm.py:923-963).  ``recon_precision`` is accepted for interface
     parity with the compressed backend and ignored (the exact quad has no
-    reconstruction matmul).
+    reconstruction matmul).  ``fused`` selects the single-matmul
+    mean+quad grouping (None -> auto: fuse iff n_classes <= 2, the
+    measured win region — see the branch comment below).
 
     Returns mean (N*, D) and per-dimension variance (N*, D) where the common
     variance is scaled by exp(y_log_lambdas)^-2 per output dimension.
@@ -458,11 +461,32 @@ def predict_y(
     """
     if quad_precision is None:
         quad_precision = precision
+    if fused is None:
+        fused = cfg.n_classes <= 2
     Kstar = K.rbf_kernel(
         post.X, Xstar, params.y_log_lengthscales, precision=precision
     )  # (Ny, N*)
-    mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (N*, D)
-    KiK = jnp.matmul(post.Ky_inv, Kstar, precision=quad_precision)  # (Ny, N*)
+    if fused and quad_precision == precision:
+        # Fused mean+quad: one MXU call computes both products against the
+        # same star kernel — [Ay^T; Ky_inv] @ Kstar — saving an HBM pass
+        # over Kstar and folding the mean rows into sublane padding the
+        # quad matmul already pays.  The win is CONFIG-DEPENDENT
+        # (tools/exp_fused_mean_quad.py, one v5e, P=10k): headline C=2
+        # Ny=480 both-GPs-fused +4.3% fps at bit-identical variances, but
+        # the C=8 Ny=960 asset loses 23% whenever the per-class x-GP is
+        # fused (the (C, d+n, n) lhs breaks XLA's batched-einsum tiling),
+        # hence the n_classes <= 2 auto gate.  The concatenation is
+        # loop-invariant, so XLA hoists it out of scans.
+        D = post.Ay.shape[1]
+        lhs = jnp.concatenate([post.Ay.T, post.Ky_inv], axis=0)  # (D+Ny, Ny)
+        out = jnp.matmul(lhs, Kstar, precision=precision)  # (D+Ny, N*)
+        mean = out[:D].T
+        KiK = out[D:]
+    else:
+        # split-precision opt-in (PFConfig.quad_precision): keep the mean
+        # at full precision and only cheapen the variance quad
+        mean = jnp.matmul(Kstar.T, post.Ay, precision=precision)  # (N*, D)
+        KiK = jnp.matmul(post.Ky_inv, Kstar, precision=quad_precision)  # (Ny, N*)
     diag_common = K.y_diag_kernel(
         Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise
     ) - jnp.sum(Kstar * KiK, axis=0)
@@ -508,6 +532,7 @@ def predict_x_all_classes(
     precision=_PREC,
     quad_precision=None,
     recon_precision=None,
+    fused: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-class dynamics GP posterior for *every* class at once.
 
@@ -515,12 +540,15 @@ def predict_x_all_classes(
     ``map_x_dynamics_for_class`` (gpmdm.py:1032-1068): one einsum on the MXU
     replaces the per-class Python loop, and consumers select the relevant
     class per query point (the expert-parallel pattern used by the particle
-    filter).  ``quad_precision`` (None -> ``precision``): see predict_y.
+    filter).  ``quad_precision`` (None -> ``precision``) and ``fused``
+    (None -> fuse iff n_classes <= 2): see predict_y.
 
     Returns means (C, N*, d) and variances (C, N*, d).
     """
     if quad_precision is None:
         quad_precision = precision
+    if fused is None:
+        fused = cfg.n_classes <= 2
     # Star kernel against every class's padded training inputs: (C, n_max, N*)
     kst = jax.vmap(
         lambda Xin_blk: K.x_kernel(
@@ -534,8 +562,18 @@ def predict_x_all_classes(
         )
     )(post.Xin_c)
     kst = kst * post.mask_c[:, :, None]  # zero padded rows (masked star kernel)
-    mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
-    KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=quad_precision)
+    if fused and quad_precision == precision:
+        # fused mean+quad per class (see predict_y): [Axc^T; Kxc_inv] @ kst
+        d = post.Axc.shape[2]
+        lhs = jnp.concatenate(
+            [jnp.swapaxes(post.Axc, 1, 2), post.Kxc_inv], axis=1
+        )  # (C, d+n_max, n_max)
+        out = jnp.einsum("cmn,cnp->cmp", lhs, kst, precision=precision)
+        mean = jnp.swapaxes(out[:, :d], 1, 2)  # (C, N*, d)
+        KiK = out[:, d:]  # (C, n_max, N*)
+    else:
+        mean = jnp.einsum("cnp,cnd->cpd", kst, post.Axc, precision=precision)
+        KiK = jnp.einsum("cnm,cmp->cnp", post.Kxc_inv, kst, precision=quad_precision)
     diag_star = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )  # (N*,)

@@ -369,12 +369,12 @@ def precompute_host(
 def predict_y(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
     cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
-    quad_precision=None, recon_precision=None,
+    quad_precision=None, recon_precision=None, fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse latent -> observation posterior; same contract as
-    core.predict_y.  ``quad_precision``/``recon_precision`` are accepted
-    for interface parity and ignored: the SGPR variance path is M-sized
-    triangular solves, not an (N, N) quad matmul."""
+    core.predict_y.  ``quad_precision``/``recon_precision``/``fused`` are
+    accepted for interface parity and ignored: the SGPR variance path is
+    M-sized triangular solves, not an (N, N) quad matmul."""
     Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales, precision=precision)
     kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
     mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss)
@@ -406,12 +406,12 @@ def _predict_x_per_class(
 def predict_x_all_classes(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
     cfg: GPMDMConfig, with_noise: bool = False, precision=_PREC,
-    quad_precision=None, recon_precision=None,
+    quad_precision=None, recon_precision=None, fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse per-class dynamics posterior for every class at once; same
     contract as core.predict_x_all_classes: (C, N*, d) mean and var.
-    ``quad_precision``/``recon_precision`` accepted for interface parity,
-    ignored (see predict_y)."""
+    ``quad_precision``/``recon_precision``/``fused`` accepted for
+    interface parity, ignored (see predict_y)."""
     means, var_common, _ = _predict_x_per_class(
         post, params, Xstar, cfg, with_noise, precision
     )

@@ -415,3 +415,59 @@ def test_compressed_key_normalization_saves(trained, tmp_path):
     m2 = GPMDM.load(path)
     cp2 = m2._compressed_cache[(6, 5, 1e-6)]
     np.testing.assert_array_equal(np.asarray(cp2.Uy), np.asarray(cp.Uy))
+
+
+def test_fused_mean_quad_matches_unfused(trained, queries):
+    """The fused [A^T; K_inv] @ Kstar grouping (PFConfig.fuse_mean_quad)
+    must equal the unfused two-matmul path to fp tolerance in f64 on CPU —
+    same algebra, different MXU call grouping."""
+    m, _, _ = trained
+    HI = jax.lax.Precision.HIGHEST
+    for backend, post in (
+        (core, m.posterior),
+        (compressed, m.compressed_posterior(rank_y=8, rank_x=6)),
+    ):
+        my_f, vy_f = backend.predict_y(post, m.params, queries, m.config,
+                                       precision=HI, fused=True)
+        my_u, vy_u = backend.predict_y(post, m.params, queries, m.config,
+                                       precision=HI, fused=False)
+        np.testing.assert_allclose(np.asarray(my_f), np.asarray(my_u),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(vy_f), np.asarray(vy_u),
+                                   rtol=1e-9, atol=1e-14)
+        mx_f, vx_f = backend.predict_x_all_classes(
+            post, m.params, queries, m.config, precision=HI, fused=True)
+        mx_u, vx_u = backend.predict_x_all_classes(
+            post, m.params, queries, m.config, precision=HI, fused=False)
+        np.testing.assert_allclose(np.asarray(mx_f), np.asarray(mx_u),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(vx_f), np.asarray(vx_u),
+                                   rtol=1e-9, atol=1e-14)
+
+
+def test_fused_gate_split_precision_and_class_count(trained, queries):
+    """fused=True with a split quad_precision must fall back to the unfused
+    branch (the fused matmul cannot honor two precisions), and the auto
+    gate must resolve by n_classes: this C=2 fixture defaults to the fused
+    grouping, so fused=None == fused=True results exactly."""
+    m, _, _ = trained
+    assert m.config.n_classes == 2
+    HI = jax.lax.Precision.HIGHEST
+    my_a, vy_a = core.predict_y(m.posterior, m.params, queries, m.config,
+                                precision=HI)  # auto -> fused at C=2
+    my_f, vy_f = core.predict_y(m.posterior, m.params, queries, m.config,
+                                precision=HI, fused=True)
+    np.testing.assert_array_equal(np.asarray(my_a), np.asarray(my_f))
+    np.testing.assert_array_equal(np.asarray(vy_a), np.asarray(vy_f))
+    # split precisions: fused=True is silently ignored; result must match
+    # the explicit unfused path bit-for-bit (identical op sequence)
+    my_s, vy_s = core.predict_y(m.posterior, m.params, queries, m.config,
+                                precision=HI,
+                                quad_precision=jax.lax.Precision.HIGH,
+                                fused=True)
+    my_u, vy_u = core.predict_y(m.posterior, m.params, queries, m.config,
+                                precision=HI,
+                                quad_precision=jax.lax.Precision.HIGH,
+                                fused=False)
+    np.testing.assert_array_equal(np.asarray(my_s), np.asarray(my_u))
+    np.testing.assert_array_equal(np.asarray(vy_s), np.asarray(vy_u))
