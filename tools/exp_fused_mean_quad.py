@@ -81,6 +81,58 @@ def main() -> None:
 
         return wrapped
 
+    # ---- statically-unrolled per-class x-GP variant -----------------------
+    # Hypothesis from the C=8 fusion loss: the batched (C, d+n, n) einsum lhs
+    # is what breaks XLA's tiling, not the concatenation itself.  Unrolling
+    # the class axis into C separate (d+n, n) @ (n, P) matmuls (C is static)
+    # gives XLA one plain matmul per class to tile.
+    from gpmdm_tpu.ops import kernels as K
+
+    def make_unrolled_x(fuse_per_class: bool):
+        def predict_x_unrolled(post, params, Xstar, cfg, with_noise=False,
+                               precision=None, quad_precision=None,
+                               recon_precision=None, fused=None):
+            precision = precision if precision is not None else core._PREC
+            if quad_precision is None:
+                quad_precision = precision
+            kst = jax.vmap(
+                lambda Xin_blk: K.x_kernel(
+                    Xin_blk, Xstar, params.x_log_lengthscales,
+                    params.x_log_sigma_n, params.x_log_lin_coeff,
+                    with_noise=False, precision=precision,
+                )
+            )(post.Xin_c)
+            kst = kst * post.mask_c[:, :, None]  # (C, n_max, P)
+            C = kst.shape[0]
+            d = post.Axc.shape[2]
+            means, KiKs = [], []
+            for c in range(C):  # static unroll: one plain matmul per class
+                if fuse_per_class:
+                    lhs = jnp.concatenate([post.Axc[c].T, post.Kxc_inv[c]], axis=0)
+                    out = jnp.matmul(lhs, kst[c], precision=precision)
+                    means.append(out[:d].T)
+                    KiKs.append(out[d:])
+                else:
+                    means.append(jnp.matmul(kst[c].T, post.Axc[c],
+                                            precision=precision))
+                    KiKs.append(jnp.matmul(post.Kxc_inv[c], kst[c],
+                                           precision=quad_precision))
+            mean = jnp.stack(means)  # (C, P, d)
+            KiK = jnp.stack(KiKs)  # (C, n_max, P)
+            diag_star = K.x_diag_kernel(
+                Xstar, params.x_log_lin_coeff, params.x_log_sigma_n,
+                cfg.sigma_n_num_X, with_noise,
+            )
+            diag_common = jnp.maximum(
+                diag_star[None, :] - jnp.sum(kst * KiK, axis=1), 1e-9
+            )
+            var = diag_common[:, :, None] * jnp.exp(
+                params.x_log_lambdas
+            )[None, None, :] ** -2
+            return mean, var
+
+        return predict_x_unrolled
+
     # ---- measurement --------------------------------------------------------
     m = GPMDM.load(REPO / "bench_assets" / args.model)
     C = m.config.n_classes
@@ -156,6 +208,9 @@ def main() -> None:
         "unfused": (force(orig[0], False), force(orig[1], False)),
         "y-only": (force(orig[0], True), force(orig[1], False)),
         "x-only": (force(orig[0], False), force(orig[1], True)),
+        # statically-unrolled per-class x-GP (see make_unrolled_x):
+        "xu-fused": (force(orig[0], True), make_unrolled_x(True)),
+        "xu-plain": (force(orig[0], False), make_unrolled_x(False)),
     }
     try:
         for tag in args.modes.split(","):
