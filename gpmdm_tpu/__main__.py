@@ -150,7 +150,18 @@ def _cmd_eval(args) -> int:
     labels = [c for _, c in test]
     from .filter.particle_filter import resolve_posterior
 
-    if args.compress_rank:
+    if args.sparsify:
+        if not getattr(model, "_deploys_core_posterior", False):
+            print(f"--sparsify applies to the exact family only; "
+                  f"{type(model).__name__} deploys its own posterior")
+            return 2
+        post = model.sparsified_posterior(
+            n_inducing_y=args.sparsify,
+            n_inducing_x=args.sparsify_x or None,
+        )
+        print(f"sparsified posterior: M_y={post.Zy.shape[0]} "
+              f"(of Ny={model.layout.Ny}), M_x={post.Zx.shape[1]}")
+    elif args.compress_rank:
         post = model.compressed_posterior(
             rank_y=args.compress_rank, rank_x=args.compress_rank
         )
@@ -234,6 +245,24 @@ def _cmd_deploy(args) -> int:
     from .filter.particle_filter import resolve_posterior
 
     model = GPMDM.load(args.ckpt)
+    if args.sparsify:
+        if args.rank_y or args.rank_x:
+            print("--sparsify and --rank-y/--rank-x are mutually exclusive")
+            return 2
+        if not getattr(model, "_deploys_core_posterior", False):
+            print(f"--sparsify applies to the exact family only; "
+                  f"{type(model).__name__} deploys its own posterior")
+            return 2
+        post = model.sparsified_posterior(
+            n_inducing_y=args.sparsify,
+            n_inducing_x=args.sparsify_x or None,
+        )
+        kind = (f"sparsified (M_y={post.Zy.shape[0]}, "
+                f"M_x={post.Zx.shape[1]})")
+        out = args.out or args.ckpt
+        model.save(out)
+        print(f"deployed posterior: {kind}\nsaved {out}")
+        return 0
     if args.rank_y or args.rank_x:
         if not getattr(model, "_deploys_core_posterior", False):
             # sparse params would survive compress_host structurally but
@@ -372,6 +401,16 @@ def main(argv=None) -> int:
                             help="force the exact posterior (reference "
                                  "semantics) even past the auto-compress "
                                  "size threshold")
+    post_group.add_argument("--sparsify", type=int, default=0,
+                            metavar="M",
+                            help="deploy a post-hoc SGPR distillation of "
+                                 "the exact model with M inducing points "
+                                 "(models/sparse.py distill_host): star "
+                                 "kernel (M, P) instead of (Ny, P) per "
+                                 "frame — check the printed accuracy")
+    pe.add_argument("--sparsify-x", type=int, default=0, metavar="MX",
+                    help="per-class dynamics inducing count for "
+                         "--sparsify (default: same as M)")
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")
@@ -411,6 +450,14 @@ def main(argv=None) -> int:
                     help="pin the observation quad rank (0 = spectral)")
     pp.add_argument("--rank-x", type=int, default=0,
                     help="pin the dynamics quad rank (0 = spectral)")
+    pp.add_argument("--sparsify", type=int, default=0, metavar="M",
+                    help="bake a post-hoc SGPR distillation with M "
+                         "inducing points instead (exact family only; "
+                         "deployed via eval --sparsify M / "
+                         "sparsified_posterior(M))")
+    pp.add_argument("--sparsify-x", type=int, default=0, metavar="MX",
+                    help="per-class dynamics inducing count for "
+                         "--sparsify (default: same as M)")
     pp.set_defaults(fn=_cmd_deploy)
 
     pd = sub.add_parser("demo", help="render the PF demo animation (GIF)")

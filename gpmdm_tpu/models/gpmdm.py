@@ -264,6 +264,7 @@ class GPMDM:
         property)."""
         self._require_init()
         self._compressed_cache = {}
+        self._sparsified_cache = {}
         if lazy:
             self._posterior = None
             self._posterior_pending = True
@@ -320,6 +321,54 @@ class GPMDM:
                 hp if hp is not None else self.params,
                 self.get_Y(), self.config, self.layout,
                 rank_y=rank_y, rank_x=rank_x, tol=tol,
+            )
+        return cache[key]
+
+    def sparsified_posterior(
+        self,
+        n_inducing_y: int = 128,
+        n_inducing_x: int | None = None,
+    ):
+        """Post-hoc SGPR distillation of this trained exact model
+        (models/sparse.py ``distill_host``): the deployed filter's star
+        kernel drops from (Ny, P) to (M, P) per frame and the variance
+        path to O(M^2 P) — the large-N serving lever the compressed
+        posterior cannot reach (its exact mean still reads all Ny training
+        rows every frame).  Both mean AND variance become M-rank
+        approximations, so arbitrate adoption with an accuracy guard
+        (docs/DEPLOY.md).  Pass the result as the ``posterior=`` of
+        :class:`GPMDM_PF` / ``pf_scan`` / CLI ``eval --sparsify M``.
+
+        Cached per (n_inducing_y, n_inducing_x) and persisted by
+        ``save()`` like the compressed cache, so a loaded checkpoint
+        deploys with no O(N M^2) host work (utils/io.py)."""
+        from . import sparse
+
+        self._require_init()
+        if not getattr(self, "_deploys_core_posterior", False):
+            raise TypeError(
+                f"{type(self).__name__} deploys its own posterior family; "
+                "post-hoc distillation applies to exact-trained models "
+                "(re-train with SparseGPMDM to choose M at training time)"
+            )
+        cache = getattr(self, "_sparsified_cache", None)
+        if cache is None:
+            cache = self._sparsified_cache = {}
+        key = (
+            int(n_inducing_y),
+            None if n_inducing_x is None else int(n_inducing_x),
+        )
+        if key not in cache:
+            # reuse the lazy host-param stash (see compressed_posterior)
+            hp = (
+                self._lazy_host_params
+                if getattr(self, "_posterior_pending", False)
+                else None
+            )
+            cache[key] = sparse.distill_host(
+                hp if hp is not None else self.params,
+                self.get_Y(), self.config, self.layout,
+                n_inducing_y=n_inducing_y, n_inducing_x=n_inducing_x,
             )
         return cache[key]
 

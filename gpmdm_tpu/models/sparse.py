@@ -321,8 +321,11 @@ def precompute_host(
     def sgpr(Kmm, Kmn, Ydata, sigma2):
         M = Kmm.shape[0]
         # same Kuu jitter the MODEL-dtype training loss uses, so the
-        # deployed posterior matches the trained objective
-        Lm = np.linalg.cholesky(Kmm + _kuu_jitter(params.X.dtype) * np.eye(M))
+        # deployed posterior matches the trained objective.  Keyed on the
+        # DEPLOY dtype (cfg.dtype), not the incoming array dtype: callers
+        # pass f64 host copies (checkpoint loading, distill_host) while
+        # the factors deploy — and tri-solve — at model dtype.
+        Lm = np.linalg.cholesky(Kmm + _kuu_jitter(cfg.dtype) * np.eye(M))
         import scipy.linalg as sl
 
         A = sl.solve_triangular(Lm, Kmn, lower=True) / np.sqrt(sigma2)
@@ -451,6 +454,52 @@ def predict_x_for_class(
 ):
     mean, var = predict_x_all_classes(post, params, Xstar, cfg, with_noise)
     return mean[class_index], var[class_index]
+
+
+def distill_host(
+    params, Y, cfg: GPMDMConfig, layout: DataLayout,
+    n_inducing_y: int = 128, n_inducing_x: int | None = None,
+) -> SparsePosterior:
+    """Post-hoc SGPR distillation of a trained EXACT model into a
+    :class:`SparsePosterior` (deploy-time, host f64, one-shot).
+
+    No reference counterpart (the reference family is exact-only; its
+    paper names sparse approximations as future work).  Keeps the
+    exact-trained hyperparameters and latents verbatim, selects inducing
+    inputs as an even-stride per-class subset of the TRAINED latents
+    (``init_inducing`` on the trained X), and builds the standard SGPR
+    predictive factors (``precompute_host``).  The filter's per-frame
+    star kernel drops from (Ny, P) to (M, P) and the variance path to
+    O(M^2 P) — the lever the compressed posterior cannot reach, since its
+    exact mean still needs the full (Ny, P) star kernel every frame.
+
+    ``params`` may be device GPMDMParams or host numpy copies (checkpoint
+    loading); ``n_inducing_x`` defaults to ``n_inducing_y`` and both are
+    clamped to the available row counts (at the clamp the SGPR posterior
+    equals the exact one up to jitter — tested)."""
+    from ..ops import kernels_host as KH
+
+    params = KH.fetch_tree(params)
+    if n_inducing_x is None:
+        n_inducing_x = n_inducing_y
+    My = int(min(n_inducing_y, int(layout.Ny)))
+    min_nc = int(np.min(np.asarray(layout.class_x_counts)))
+    Mx = int(min(n_inducing_x, min_nc))
+    X0 = np.asarray(params.X, dtype=np.float64)
+    Zy, Zx = init_inducing(X0, layout, cfg, My, Mx)
+    sp = SparseParams(
+        y_log_lengthscales=np.asarray(params.y_log_lengthscales, np.float64),
+        y_log_lambdas=np.asarray(params.y_log_lambdas, np.float64),
+        y_log_sigma_n=np.asarray(params.y_log_sigma_n, np.float64),
+        x_log_lengthscales=np.asarray(params.x_log_lengthscales, np.float64),
+        x_log_lambdas=np.asarray(params.x_log_lambdas, np.float64),
+        x_log_sigma_n=np.asarray(params.x_log_sigma_n, np.float64),
+        x_log_lin_coeff=np.asarray(params.x_log_lin_coeff, np.float64),
+        X=X0,
+        Zy=Zy,
+        Zx=Zx,
+    )
+    return precompute_host(sp, Y, cfg, layout)
 
 
 def init_inducing(

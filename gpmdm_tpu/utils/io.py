@@ -117,6 +117,23 @@ def save_model(model, file_path) -> None:
     if comp_keys:
         meta["compressed_keys"] = comp_keys
         meta["compressed_entry_idx"] = comp_idx
+    # Sparsified (post-hoc SGPR distilled) deployment posteriors: same
+    # persistence contract as the compressed cache — factors are small
+    # (O(M^2 + M Dout) plus the latent snapshot) and params-consistent by
+    # construction; load restores them after the posterior precompute.
+    sp_cache = getattr(model, "_sparsified_cache", None) or {}
+    sp_keys, sp_idx, _sp_seen = [], [], {}
+    for key, post in sp_cache.items():
+        sp_keys.append(list(key))  # (n_inducing_y, n_inducing_x|None)
+        j = _sp_seen.get(id(post))
+        if j is None:
+            j = _sp_seen[id(post)] = len(_sp_seen)
+            for f in dataclasses.fields(post):
+                arrays[f"sparsified_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
+        sp_idx.append(j)
+    if sp_keys:
+        meta["sparsified_keys"] = sp_keys
+        meta["sparsified_entry_idx"] = sp_idx
     # Sparse posteriors are small (O(M^2 + M D) factors) but cost an
     # O(N M^2) host precompute — persist them so load skips it (~16 s at
     # Ny=108k, M=128).  Exact core.Posterior is NOT persisted: its
@@ -279,6 +296,23 @@ def load_model(cls, file_path):
                         )
                     cache[tuple(key)] = built[j]
                 model._compressed_cache = cache
+            sp_keys = meta.get("sparsified_keys")
+            if sp_keys:
+                import dataclasses
+
+                from ..models.sparse import SparsePosterior
+
+                cache, built = {}, {}
+                fields = [f.name for f in dataclasses.fields(SparsePosterior)]
+                idxs = meta.get("sparsified_entry_idx", list(range(len(sp_keys))))
+                for key, j in zip(sp_keys, idxs):
+                    if j not in built:
+                        built[j] = SparsePosterior(
+                            **{f: jnp.asarray(data[f"sparsified_{j}_{f}"])
+                               for f in fields}
+                        )
+                    cache[tuple(key)] = built[j]
+                model._sparsified_cache = cache
     return model
 
 

@@ -1,0 +1,143 @@
+"""Post-hoc SGPR distillation of trained exact models
+(GPMDM.sparsified_posterior / models/sparse.py distill_host): near-exactness
+at the full-M clamp, PF end-to-end quality at reduced M, cache semantics,
+checkpoint persistence, and the family guard.
+
+No reference counterpart (the reference family is exact-only); the spec is
+agreement with the exact posterior plus the SGPR equations already
+property-tested in tests/test_sparse.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpmdm_tpu import GPMDM, PFConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.models import core, sparse
+from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+
+
+@pytest.fixture(scope="module")
+def trained():
+    tr, tl, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=3, n_test_seqs=4, seq_len=50, D=12, seed=0
+    )
+    m = GPMDM(
+        D=12, d=2, n_classes=2, dtype="float64",
+        y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=120, lr=0.01)
+    return m, te, tel
+
+
+@pytest.fixture(scope="module")
+def queries(trained):
+    m, _, _ = trained
+    rs = np.random.RandomState(1)
+    return jnp.asarray(rs.randn(150, m.d) * 1.2)
+
+
+def test_full_m_matches_exact(trained, queries):
+    """With every training row kept as an inducing input (M clamped to the
+    available counts), SGPR equals the exact posterior up to the Kuu
+    jitter (Z=X makes Qnn=Knn); measured jitter-limited deltas are ~1e-3
+    absolute on the mean and <0.2% on the variance in f64."""
+    m, _, _ = trained
+    sp = m.sparsified_posterior(n_inducing_y=10**9, n_inducing_x=10**9)
+    assert sp.Zy.shape[0] == m.layout.Ny  # clamped
+    my, vy = core.predict_y(m.posterior, m.params, queries, m.config)
+    sy, svy = sparse.predict_y(sp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(sy), np.asarray(my), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(svy), np.asarray(vy), rtol=1e-2)
+    mx, vx = core.predict_x_all_classes(m.posterior, m.params, queries, m.config)
+    sx, svx = sparse.predict_x_all_classes(sp, m.params, queries, m.config)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(mx), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(svx), np.asarray(vx), rtol=1e-2)
+
+
+def test_reduced_m_pf_accuracy(trained):
+    """A distilled posterior at M ~ Ny/3 streams the held-out trials
+    through the UNMODIFIED filter (backend dispatch by posterior type)
+    above the reference's 0.9 accuracy bar."""
+    m, te, tel = trained
+    sp = m.sparsified_posterior(n_inducing_y=96, n_inducing_x=48)
+    rep = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in te], tel,
+        burn_in=5, seed=0, config=PFConfig(num_particles=300),
+        posterior=sp,
+    )
+    assert rep.frame_metrics["accuracy"] > 0.9
+
+
+def test_cache_and_clamp_semantics(trained):
+    """Same (My, Mx) key returns the cached object; the x default tracks
+    My; a posterior refresh clears the cache."""
+    m, _, _ = trained
+    a = m.sparsified_posterior(n_inducing_y=64)
+    b = m.sparsified_posterior(n_inducing_y=64)
+    assert a is b
+    assert a.Zx.shape[1] == 64  # Mx defaulted to My (both under the clamp)
+    c = m.sparsified_posterior(n_inducing_y=64, n_inducing_x=32)
+    assert c is not a and c.Zx.shape[1] == 32
+    m._precompute_kernel_inverses()
+    assert m.sparsified_posterior(n_inducing_y=64) is not a
+
+
+def test_checkpoint_roundtrip_and_lazy_deploy(trained, tmp_path):
+    """save() persists the sparsified cache; a loaded checkpoint deploys
+    the SAME factors without building the exact posterior (the lazy
+    O(N^3) precompute must stay deferred)."""
+    m, te, tel = trained
+    sp = m.sparsified_posterior(n_inducing_y=96, n_inducing_x=48)
+    path = tmp_path / "m.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert getattr(m2, "_posterior_pending", False)  # exact build deferred
+    sp2 = m2.sparsified_posterior(n_inducing_y=96, n_inducing_x=48)
+    assert getattr(m2, "_posterior_pending", False)  # ...and still deferred
+    for f in ("Zy", "Ly", "LBy", "beta_y", "Zx", "Lx", "LBx", "beta_x"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sp2, f)), np.asarray(getattr(sp, f))
+        )
+    # a NEW key on the loaded model distills from the lazy host params
+    sp3 = m2.sparsified_posterior(n_inducing_y=64)
+    assert sp3.Zy.shape[0] == 64
+    assert getattr(m2, "_posterior_pending", False)
+
+
+def test_sparse_family_rejects_distillation():
+    """SparseGPMDM deploys its own variational posterior; post-hoc
+    distillation is an exact-family operation."""
+    from gpmdm_tpu import SparseGPMDM
+
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=1, n_test_seqs=1, seq_len=30, D=6, seed=0
+    )
+    m = SparseGPMDM(
+        n_inducing_y=8, n_inducing_x=8, D=6, d=2, n_classes=2,
+        dtype="float64", y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    with pytest.raises(TypeError, match="own posterior"):
+        m.sparsified_posterior(n_inducing_y=4)
+
+
+def test_cli_eval_sparsify(trained, tmp_path, capsys):
+    """CLI surface: eval --sparsify M deploys the distilled posterior."""
+    from gpmdm_tpu.__main__ import main
+
+    m, _, _ = trained
+    path = tmp_path / "m.npz"
+    m.save(path)
+    rc = main(["eval", str(path), "--particles", "100", "--burn-in", "5",
+               "--sparsify", "96", "--sparsify-x", "48", "--banked"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sparsified posterior: M_y=96" in out

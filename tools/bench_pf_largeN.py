@@ -82,6 +82,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="n2048,n5120,sparse10240")
     ap.add_argument("--particles", type=int, default=P)
+    ap.add_argument("--sparsify", default="",
+                    help="comma list of inducing counts M: ALSO measure "
+                         "post-hoc distilled variants "
+                         "(GPMDM.sparsified_posterior; exact family only)")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="measure only the --sparsify variants")
     args = ap.parse_args()
 
     from gpmdm_tpu import GPMDM, PFConfig, SparseGPMDM
@@ -121,10 +127,18 @@ def main() -> None:
         )[:T_FRAMES]
         Z = jnp.asarray(Z, dtype=m.dtype)
 
-        variants = [("exact" if family == "exact" else "sparse", m.posterior)]
+        variants = []
+        if not args.skip_base:
+            variants.append(
+                ("exact" if family == "exact" else "sparse", m.posterior)
+            )
+            if family == "exact":
+                cp = m.compressed_posterior()
+                variants.append((f"compressed-q{cp.rank_y}", cp))
         if family == "exact":
-            cp = m.compressed_posterior()
-            variants.append((f"compressed-q{cp.rank_y}", cp))
+            for Mtxt in filter(None, args.sparsify.split(",")):
+                spp = m.sparsified_posterior(n_inducing_y=int(Mtxt))
+                variants.append((f"sparsified-M{spp.Zy.shape[0]}", spp))
 
         for label, post in variants:
             scan = jax.jit(
