@@ -79,8 +79,14 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_assets", "jax_cache"
     )
     # CPU-forced runs (local smoke tests via jax_platforms='cpu') must not
-    # pollute the committed TPU cache with host-platform entries.
-    if "cpu" in (jax.config.jax_platforms or ""):
+    # pollute the committed TPU cache with host-platform entries.  Decide
+    # from the RESOLVED backend (the probe above already initialized it),
+    # NOT the jax_platforms string: this environment's sitecustomize sets
+    # jax_platforms='axon,cpu', so a substring test diverted real TPU runs
+    # to /tmp — which in the driver's empty-/tmp container is exactly the
+    # full-recompile miss the committed cache exists to prevent (caught
+    # when a TPU bench run wrote zero repo-cache entries).
+    if _probe_result[0].platform == "cpu":
         _cache_dir = "/tmp/jax_bench_cache"
     try:
         os.makedirs(_cache_dir, exist_ok=True)
@@ -383,6 +389,33 @@ def main() -> None:
         )
         c8n5120_acc = rep85.frame_metrics["accuracy"]
 
+        # the same asset through the post-hoc SGPR distillation baked into
+        # the checkpoint (deploy --sparsify 384; models/sparse.distill_host)
+        # — the guard-arbitrated serving deployment: measured faster AND
+        # more accurate than auto-compressed at this shape (BENCHMARKS.md
+        # "Post-hoc SGPR distillation").
+        sp85 = m85.sparsified_posterior(384)
+        state_sp = pf.pf_init(
+            sp85, m85.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+        )
+        _, osp = scan85(state_sp, Z85, sp85, m85.params)
+        jax.block_until_ready(osp.class_probs)
+        wsp = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, osp = scan85(state_sp, Z85, sp85, m85.params)
+            jax.block_until_ready(osp.class_probs)
+            wsp = min(wsp, time.perf_counter() - t0)
+        c8n5120_sp_fps = T_frames85 / wsp
+        rep_sp = evaluate_pf_banked(
+            m85, T85, [np.asarray(te85[i]) for i in keep],
+            [tel85[i] for i in keep], burn_in=5, seed=0, config=pfc,
+            posterior=sp85,
+        )
+        c8n5120_sp_acc = rep_sp.frame_metrics["accuracy"]
+    else:
+        c8n5120_sp_fps = c8n5120_sp_acc = None
+
     _mark("c8n5120")
     # secondary metric: the BASELINE "hour-long sequences" config at its
     # literal scale — 2 classes x 2 x 27,000-frame training sequences
@@ -494,6 +527,14 @@ def main() -> None:
                 ),
                 "c8n5120_frame_acc": (
                     round(float(c8n5120_acc), 4) if c8n5120_acc is not None else None
+                ),
+                "c8n5120_sparsified_fps": (
+                    round(c8n5120_sp_fps, 1)
+                    if c8n5120_sp_fps is not None else None
+                ),
+                "c8n5120_sparsified_frame_acc": (
+                    round(float(c8n5120_sp_acc), 4)
+                    if c8n5120_sp_acc is not None else None
                 ),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
