@@ -481,6 +481,26 @@ def main() -> None:
         jax.block_until_ready(bouts.class_probs)
     bank_wall = (time.perf_counter() - t0) / 3
     bank_agg_fps = B * T_bank / bank_wall
+
+    # the same bank fleet through the baked post-hoc SGPR distillation
+    # (deploy --sparsify 128): measured faster AND more accurate than the
+    # exact banks at P=1k (BENCHMARKS.md "Post-hoc SGPR distillation").
+    sp_head = m.sparsified_posterior(128)
+    states_sp = pf.pf_init_bank(
+        sp_head, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc_bank, B
+    )
+    _, bsp = bank_scan(states_sp, Zb, sp_head, m.params)
+    jax.block_until_ready(bsp.class_probs)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, bsp = bank_scan(states_sp, Zb, sp_head, m.params)
+        jax.block_until_ready(bsp.class_probs)
+    bank_sp_fps = B * T_bank * 3 / (time.perf_counter() - t0)
+    rep_bsp = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Zq) for Zq in q_seqs],
+        q_labels, burn_in=5, seed=0, config=pfc_bank, posterior=sp_head,
+    )
+    bank_sp_acc = rep_bsp.frame_metrics["accuracy"]
     _mark("bank64")
 
     print(
@@ -512,6 +532,8 @@ def main() -> None:
                 "d4_frame_acc": round(float(d4_acc), 4) if d4_acc is not None else None,
                 "d4_frame_f1": round(float(d4_f1), 4) if d4_f1 is not None else None,
                 "bank64x1k_aggregate_fps": round(bank_agg_fps, 1),
+                "bank64x1k_sparsified_fps": round(bank_sp_fps, 1),
+                "bank64x1k_sparsified_frame_acc": round(float(bank_sp_acc), 4),
                 "hourlong_fps": round(hl_fps, 1) if hl_fps is not None else None,
                 "hourlong_Ny": 108000 if hl_fps is not None else None,
                 "hourlong_frame_acc": (

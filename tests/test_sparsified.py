@@ -110,6 +110,56 @@ def test_checkpoint_roundtrip_and_lazy_deploy(trained, tmp_path):
     assert getattr(m2, "_posterior_pending", False)
 
 
+def test_distill_back_step_2_full_m():
+    """Second-order dynamics (dyn_back_step=2): the inducing inputs carry
+    the concatenated [x_t, x_{t-1}] rows, and the full-M distillation
+    still matches the exact posterior."""
+    tr, tl, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=40, D=8, seed=3
+    )
+    m = GPMDM(
+        D=8, d=2, n_classes=2, dyn_back_step=2, dtype="float64",
+        y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=60, lr=0.01)
+    sp = m.sparsified_posterior(n_inducing_y=10**9, n_inducing_x=10**9)
+    assert sp.Zx.shape[2] == 2 * m.d  # concatenated back-step inputs
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(60, 2 * m.d) * 1.2)
+    mx, vx = core.predict_x_all_classes(m.posterior, m.params, q, m.config)
+    sx, svx = sparse.predict_x_all_classes(sp, m.params, q, m.config)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(mx), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(svx), np.asarray(vx), rtol=1e-2)
+
+
+def test_distill_back_constrained():
+    """BCGPMDM materializes X = K_b @ W; distillation runs on the
+    materialized latents and stays a working filter backend."""
+    from gpmdm_tpu import BCGPMDM
+
+    tr, tl, te, tel = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=2, seq_len=40, D=8, seed=1
+    )
+    m = BCGPMDM(
+        D=8, d=2, n_classes=2, dtype="float64",
+        y_sigma_n_init=0.1, x_sigma_n_init=0.1,
+    )
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=60, lr=0.01)
+    sp = m.sparsified_posterior(n_inducing_y=48, n_inducing_x=32)
+    rep = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in te], tel,
+        burn_in=5, seed=0, config=PFConfig(num_particles=200),
+        posterior=sp,
+    )
+    assert rep.frame_metrics["accuracy"] > 0.8
+
+
 def test_sparse_family_rejects_distillation():
     """SparseGPMDM deploys its own variational posterior; post-hoc
     distillation is an exact-family operation."""
