@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--compressed", action="store_true",
                     help="deploy the low-rank compressed posterior "
                          "(models/compressed.py) instead of the exact one")
+    ap.add_argument("--sparsify", type=int, default=0, metavar="M",
+                    help="deploy the post-hoc SGPR distillation "
+                         "(GPMDM.sparsified_posterior) at M inducing points")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,13 @@ def main() -> None:
         dtype=m.dtype,
     )
     log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=m.dtype))
-    post = m.compressed_posterior() if args.compressed else m.posterior
+    if args.sparsify:
+        post = m.sparsified_posterior(args.sparsify)
+        post_label = f"sparsified-M{args.sparsify}"
+    elif args.compressed:
+        post, post_label = m.compressed_posterior(), "compressed"
+    else:
+        post, post_label = m.posterior, "exact"
 
     for P in args.particles:
         pfc = PFConfig(num_particles=P)
@@ -70,7 +79,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({
             "particles": P,
-            "posterior": "compressed" if args.compressed else "exact",
+            "posterior": post_label,
             "fps": round(args.frames / best, 1),
             "ms_per_frame": round(best / args.frames * 1e3, 4),
             "device": str(jax.devices()[0]),
