@@ -390,11 +390,13 @@ def main() -> None:
         c8n5120_acc = rep85.frame_metrics["accuracy"]
 
         # the same asset through the post-hoc SGPR distillation baked into
-        # the checkpoint (deploy --sparsify 384; models/sparse.distill_host)
-        # — the guard-arbitrated serving deployment: measured faster AND
-        # more accurate than auto-compressed at this shape (BENCHMARKS.md
-        # "Post-hoc SGPR distillation").
-        sp85 = m85.sparsified_posterior(384)
+        # the checkpoint (deploy --sparsify 384 --sparsify-method kmeans;
+        # models/sparse.distill_host) — the guard-arbitrated serving
+        # deployment: measured faster AND more accurate than
+        # auto-compressed at this shape, and k-means selection beats the
+        # strided subset at every M here (BENCHMARKS.md "Post-hoc SGPR
+        # distillation").
+        sp85 = m85.sparsified_posterior(384, method="kmeans")
         state_sp = pf.pf_init(
             sp85, m85.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
         )

@@ -158,9 +158,11 @@ def _cmd_eval(args) -> int:
         post = model.sparsified_posterior(
             n_inducing_y=args.sparsify,
             n_inducing_x=args.sparsify_x or None,
+            method=args.sparsify_method,
         )
         print(f"sparsified posterior: M_y={post.Zy.shape[0]} "
-              f"(of Ny={model.layout.Ny}), M_x={post.Zx.shape[1]}")
+              f"(of Ny={model.layout.Ny}), M_x={post.Zx.shape[1]}, "
+              f"method={args.sparsify_method}")
     elif args.compress_rank:
         post = model.compressed_posterior(
             rank_y=args.compress_rank, rank_x=args.compress_rank
@@ -256,9 +258,10 @@ def _cmd_deploy(args) -> int:
         post = model.sparsified_posterior(
             n_inducing_y=args.sparsify,
             n_inducing_x=args.sparsify_x or None,
+            method=args.sparsify_method,
         )
         kind = (f"sparsified (M_y={post.Zy.shape[0]}, "
-                f"M_x={post.Zx.shape[1]})")
+                f"M_x={post.Zx.shape[1]}, method={args.sparsify_method})")
         out = args.out or args.ckpt
         model.save(out)
         print(f"deployed posterior: {kind}\nsaved {out}")
@@ -411,6 +414,11 @@ def main(argv=None) -> int:
     pe.add_argument("--sparsify-x", type=int, default=0, metavar="MX",
                     help="per-class dynamics inducing count for "
                          "--sparsify (default: same as M)")
+    pe.add_argument("--sparsify-method", default="stride",
+                    choices=["stride", "kmeans"],
+                    help="inducing-input selection for --sparsify: "
+                         "even-stride data subset or deterministic "
+                         "k-means centroids (better coverage at small M)")
     pe.add_argument("--banked", action="store_true",
                     help="stream ALL trials in one compiled dispatch "
                          "(one filter bank row per trial)")
@@ -458,6 +466,9 @@ def main(argv=None) -> int:
     pp.add_argument("--sparsify-x", type=int, default=0, metavar="MX",
                     help="per-class dynamics inducing count for "
                          "--sparsify (default: same as M)")
+    pp.add_argument("--sparsify-method", default="stride",
+                    choices=["stride", "kmeans"],
+                    help="inducing-input selection for --sparsify")
     pp.set_defaults(fn=_cmd_deploy)
 
     pd = sub.add_parser("demo", help="render the PF demo animation (GIF)")

@@ -328,6 +328,7 @@ class GPMDM:
         self,
         n_inducing_y: int = 128,
         n_inducing_x: int | None = None,
+        method: str = "stride",
     ):
         """Post-hoc SGPR distillation of this trained exact model
         (models/sparse.py ``distill_host``): the deployed filter's star
@@ -354,10 +355,14 @@ class GPMDM:
         cache = getattr(self, "_sparsified_cache", None)
         if cache is None:
             cache = self._sparsified_cache = {}
+        # method is part of the key; 'stride' keys stay 2-tuples so
+        # checkpoints persisted before the knob existed keep loading
         key = (
             int(n_inducing_y),
             None if n_inducing_x is None else int(n_inducing_x),
         )
+        if method != "stride":
+            key = key + (str(method),)
         if key not in cache:
             # reuse the lazy host-param stash (see compressed_posterior)
             hp = (
@@ -369,6 +374,7 @@ class GPMDM:
                 hp if hp is not None else self.params,
                 self.get_Y(), self.config, self.layout,
                 n_inducing_y=n_inducing_y, n_inducing_x=n_inducing_x,
+                method=method,
             )
         return cache[key]
 

@@ -456,9 +456,43 @@ def predict_x_for_class(
     return mean[class_index], var[class_index]
 
 
+def _kmeans(X: np.ndarray, M: int, iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd's k-means on the host (f64): init = even-stride
+    subset, empty clusters re-seeded to the farthest point from its
+    centroid.  Used for inducing-input selection — centroids cover the
+    trained manifold more evenly than strided data rows, which matters at
+    small M (measured: the 8-class distillation dial, BENCHMARKS.md)."""
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if M >= n:
+        return X.copy()
+    idx = np.linspace(0, n - 1, M).round().astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        # (n, M) squared distances, assignment, mean update
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newC = np.zeros_like(C)
+        counts = np.bincount(a, minlength=M).astype(np.float64)
+        np.add.at(newC, a, X)
+        empty = counts == 0
+        counts[empty] = 1.0
+        newC /= counts[:, None]
+        if empty.any():
+            # re-seed empties at the points farthest from their centroid
+            far = d2[np.arange(n), a].argsort()[::-1]
+            newC[empty] = X[far[: int(empty.sum())]]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def distill_host(
     params, Y, cfg: GPMDMConfig, layout: DataLayout,
     n_inducing_y: int = 128, n_inducing_x: int | None = None,
+    method: str = "stride",
 ) -> SparsePosterior:
     """Post-hoc SGPR distillation of a trained EXACT model into a
     :class:`SparsePosterior` (deploy-time, host f64, one-shot).
@@ -476,9 +510,14 @@ def distill_host(
     ``params`` may be device GPMDMParams or host numpy copies (checkpoint
     loading); ``n_inducing_x`` defaults to ``n_inducing_y`` and both are
     clamped to the available row counts (at the clamp the SGPR posterior
-    equals the exact one up to jitter — tested)."""
+    equals the exact one up to jitter — tested).  ``method``: 'stride'
+    (even-stride data subset, ``init_inducing``) or 'kmeans'
+    (deterministic Lloyd centroids per GP/class — better manifold
+    coverage at small M; measured on the 8-class dial, BENCHMARKS.md)."""
     from ..ops import kernels_host as KH
 
+    if method not in ("stride", "kmeans"):
+        raise ValueError("method must be 'stride' or 'kmeans'")
     params = KH.fetch_tree(params)
     if n_inducing_x is None:
         n_inducing_x = n_inducing_y
@@ -486,7 +525,16 @@ def distill_host(
     min_nc = int(np.min(np.asarray(layout.class_x_counts)))
     Mx = int(min(n_inducing_x, min_nc))
     X0 = np.asarray(params.X, dtype=np.float64)
-    Zy, Zx = init_inducing(X0, layout, cfg, My, Mx)
+    if method == "kmeans":
+        Zy = _kmeans(X0, My)
+        pads = padded_class_indices(layout)
+        Xin_c, _, mask = KH.class_xin_xout(X0, layout, cfg, pads)
+        Zx = np.stack([
+            _kmeans(Xin_c[c][mask[c].astype(bool)], Mx)
+            for c in range(layout.n_classes)
+        ])
+    else:
+        Zy, Zx = init_inducing(X0, layout, cfg, My, Mx)
     sp = SparseParams(
         y_log_lengthscales=np.asarray(params.y_log_lengthscales, np.float64),
         y_log_lambdas=np.asarray(params.y_log_lambdas, np.float64),

@@ -110,6 +110,39 @@ def test_checkpoint_roundtrip_and_lazy_deploy(trained, tmp_path):
     assert getattr(m2, "_posterior_pending", False)
 
 
+def test_kmeans_method(trained, tmp_path):
+    """'kmeans' selection: deterministic, full-M degenerates to the data
+    itself (== stride full-M), reduced-M filters above the bar, and the
+    3-tuple cache key survives a checkpoint round-trip."""
+    m, te, tel = trained
+    a = m.sparsified_posterior(48, method="kmeans")
+    m._sparsified_cache.clear()
+    b = m.sparsified_posterior(48, method="kmeans")
+    np.testing.assert_array_equal(np.asarray(a.Zy), np.asarray(b.Zy))
+    # full-M: centroids of singleton clusters are the points themselves
+    full_k = m.sparsified_posterior(10**9, method="kmeans")
+    full_s = m.sparsified_posterior(10**9)
+    np.testing.assert_allclose(
+        np.asarray(full_k.Ly), np.asarray(full_s.Ly), atol=1e-12
+    )
+    rep = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in te], tel,
+        burn_in=5, seed=0, config=PFConfig(num_particles=300),
+        posterior=m.sparsified_posterior(96, n_inducing_x=48, method="kmeans"),
+    )
+    assert rep.frame_metrics["accuracy"] > 0.9
+    path = tmp_path / "mk.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert (48, None, "kmeans") in m2._sparsified_cache
+    np.testing.assert_array_equal(
+        np.asarray(m2._sparsified_cache[(48, None, "kmeans")].Zy),
+        np.asarray(b.Zy),
+    )
+    with pytest.raises(ValueError, match="method"):
+        m.sparsified_posterior(48, method="greedy")
+
+
 def test_distill_back_step_2_full_m():
     """Second-order dynamics (dyn_back_step=2): the inducing inputs carry
     the concatenated [x_t, x_{t-1}] rows, and the full-M distillation

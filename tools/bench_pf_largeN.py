@@ -88,6 +88,9 @@ def main() -> None:
                          "(GPMDM.sparsified_posterior; exact family only)")
     ap.add_argument("--skip-base", action="store_true",
                     help="measure only the --sparsify variants")
+    ap.add_argument("--sparsify-method", default="stride",
+                    choices=["stride", "kmeans"],
+                    help="inducing-input selection for --sparsify")
     args = ap.parse_args()
 
     from gpmdm_tpu import GPMDM, PFConfig, SparseGPMDM
@@ -137,8 +140,11 @@ def main() -> None:
                 variants.append((f"compressed-q{cp.rank_y}", cp))
         if family == "exact":
             for Mtxt in filter(None, args.sparsify.split(",")):
-                spp = m.sparsified_posterior(n_inducing_y=int(Mtxt))
-                variants.append((f"sparsified-M{spp.Zy.shape[0]}", spp))
+                spp = m.sparsified_posterior(n_inducing_y=int(Mtxt),
+                                             method=args.sparsify_method)
+                tag = ("" if args.sparsify_method == "stride"
+                       else f"-{args.sparsify_method}")
+                variants.append((f"sparsified-M{spp.Zy.shape[0]}{tag}", spp))
 
         for label, post in variants:
             scan = jax.jit(
