@@ -279,13 +279,31 @@ def precompute(
     )
 
 
-def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag):
+def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag, quad_precision=None):
     """Shared SGPR predictive mean / common variance.
 
-    Kstar_m: (M, N*) star kernel against inducing inputs."""
+    Kstar_m: (M, N*) star kernel against inducing inputs.
+
+    ``quad_precision`` (None = default): when set, the variance path runs
+    as two (M, M) @ (M, N*) MXU matmuls against the hoisted triangular
+    inverses Lm^-1 and (LB Lm)^-1 at that precision, instead of two
+    HIGHEST-precision triangular solves per frame (the inversions are
+    loop-invariant, so XLA lifts them out of filter scans).  Measured
+    SPEED-NEUTRAL at M=128/P=10k in an interleaved A/B — XLA's wide-rhs
+    triangular solve is already matmul-rich; a sequential comparison's
+    apparent +11.5% was tunnel contention drift.  Kept for interface
+    parity with the exact backend's quad knob and for re-measurement at
+    much larger M (docs/BENCHMARKS.md "SGPR variance path")."""
     mean = jnp.matmul(Kstar_m.T, beta, precision=_PREC)  # (N*, Dout)
-    v1 = LA.tri_solve(Lm, Kstar_m)  # (M, N*)
-    v2 = LA.tri_solve(LB, v1)
+    if quad_precision is None:
+        v1 = LA.tri_solve(Lm, Kstar_m)  # (M, N*)
+        v2 = LA.tri_solve(LB, v1)
+    else:
+        eye = jnp.eye(Lm.shape[0], dtype=Lm.dtype)
+        Vi = LA.tri_solve(Lm, eye)  # Lm^-1, loop-invariant
+        Wi = LA.tri_solve(LB, Vi)  # (LB Lm)^-1, loop-invariant
+        v1 = jnp.matmul(Vi, Kstar_m, precision=quad_precision)
+        v2 = jnp.matmul(Wi, Kstar_m, precision=quad_precision)
     var_common = kss_diag - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
     return mean, jnp.maximum(var_common, 1e-12)
 
@@ -375,22 +393,27 @@ def predict_y(
     quad_precision=None, recon_precision=None, fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse latent -> observation posterior; same contract as
-    core.predict_y.  ``quad_precision``/``recon_precision``/``fused`` are
-    accepted for interface parity and ignored: the SGPR variance path is
-    M-sized triangular solves, not an (N, N) quad matmul."""
+    core.predict_y.  ``quad_precision`` (None = default) switches the
+    variance path to hoisted-inverse MXU matmuls at that precision (see
+    _sgpr_predict; measured speed-neutral at M=128 — kept for interface
+    parity); ``recon_precision``/``fused`` are accepted for interface
+    parity and ignored (no reconstruction matmul, and the SGPR
+    mean/variance operate on different factors)."""
     Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales, precision=precision)
     kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)
-    mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss)
+    mean, var_common = _sgpr_predict(post.Ly, post.LBy, post.beta_y, Kstar, kss,
+                                     quad_precision=quad_precision)
     var = var_common[:, None] * jnp.exp(params.y_log_lambdas)[None, :] ** -2
     return mean, var
 
 
 def _predict_x_per_class(
     post: SparsePosterior, params: SparseParams, Xstar: jax.Array,
-    cfg: GPMDMConfig, with_noise: bool, precision,
+    cfg: GPMDMConfig, with_noise: bool, precision, quad_precision=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-class SGPR dynamics posteriors: means (C, N*, d), common
-    variances (C, N*) pre-lambda, and the star prior diagonal (N*,)."""
+    variances (C, N*) pre-lambda, and the star prior diagonal (N*,).
+    ``quad_precision``: see _sgpr_predict."""
     kss = K.x_diag_kernel(
         Xstar, params.x_log_lin_coeff, params.x_log_sigma_n, cfg.sigma_n_num_X, with_noise
     )
@@ -400,7 +423,8 @@ def _predict_x_per_class(
             Z, Xstar, params.x_log_lengthscales, params.x_log_sigma_n,
             params.x_log_lin_coeff, with_noise=False, precision=precision,
         )
-        return _sgpr_predict(Lm, LB, beta, Kstar, kss)
+        return _sgpr_predict(Lm, LB, beta, Kstar, kss,
+                             quad_precision=quad_precision)
 
     means, var_common = jax.vmap(per_class)(post.Zx, post.Lx, post.LBx, post.beta_x)
     return means, var_common, kss
@@ -413,10 +437,11 @@ def predict_x_all_classes(
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse per-class dynamics posterior for every class at once; same
     contract as core.predict_x_all_classes: (C, N*, d) mean and var.
-    ``quad_precision``/``recon_precision``/``fused`` accepted for
-    interface parity, ignored (see predict_y)."""
+    ``quad_precision``: the hoisted-inverse variance path (see
+    predict_y); ``recon_precision``/``fused`` accepted for interface
+    parity, ignored."""
     means, var_common, _ = _predict_x_per_class(
-        post, params, Xstar, cfg, with_noise, precision
+        post, params, Xstar, cfg, with_noise, precision, quad_precision
     )
     var = var_common[:, :, None] * jnp.exp(params.x_log_lambdas)[None, None, :] ** -2
     return means, var
@@ -438,7 +463,7 @@ def predict_x(
     the same additivity to the per-class SGPR posteriors — each class's
     inducing set stands in for its training block."""
     means, var_common, kss = _predict_x_per_class(
-        post, params, Xstar, cfg, with_noise, precision
+        post, params, Xstar, cfg, with_noise, precision, quad_precision
     )
     mean = jnp.sum(means, axis=0)
     var_common_all = jnp.maximum(

@@ -11,6 +11,7 @@ property-tested in tests/test_sparse.py.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from gpmdm_tpu import GPMDM, PFConfig
@@ -108,6 +109,35 @@ def test_checkpoint_roundtrip_and_lazy_deploy(trained, tmp_path):
     sp3 = m2.sparsified_posterior(n_inducing_y=64)
     assert sp3.Zy.shape[0] == 64
     assert getattr(m2, "_posterior_pending", False)
+
+
+def test_sgpr_quad_precision_paths_agree(trained, queries):
+    """The SGPR variance's hoisted-inverse matmul path
+    (quad_precision set) equals the triangular-solve default to fp
+    tolerance in f64 — same algebra, different op grouping — and threads
+    through the PFConfig knob end to end."""
+    m, te, tel = trained
+    sp = m.sparsified_posterior(96, n_inducing_x=48)
+    HI = jax.lax.Precision.HIGHEST
+    my_t, vy_t = sparse.predict_y(sp, m.params, queries, m.config)
+    my_i, vy_i = sparse.predict_y(sp, m.params, queries, m.config,
+                                  quad_precision=HI)
+    np.testing.assert_array_equal(np.asarray(my_t), np.asarray(my_i))
+    np.testing.assert_allclose(np.asarray(vy_t), np.asarray(vy_i),
+                               rtol=1e-9, atol=1e-12)
+    mx_t, vx_t = sparse.predict_x_all_classes(sp, m.params, queries, m.config)
+    mx_i, vx_i = sparse.predict_x_all_classes(sp, m.params, queries, m.config,
+                                              quad_precision=HI)
+    np.testing.assert_allclose(np.asarray(vx_t), np.asarray(vx_i),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(mx_t), np.asarray(mx_i))
+    rep = evaluate_pf_banked(
+        m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Z) for Z in te], tel,
+        burn_in=5, seed=0,
+        config=PFConfig(num_particles=300, quad_precision="highest"),
+        posterior=sp,
+    )
+    assert rep.frame_metrics["accuracy"] > 0.9
 
 
 def test_kmeans_method(trained, tmp_path):
