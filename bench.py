@@ -327,6 +327,39 @@ def main() -> None:
         )
         c8_acc = rep8.frame_metrics["accuracy"]
 
+        # baked kmeans-M128 distillation (deploy --sparsify 128
+        # --sparsify-method kmeans): measured better than exact on BOTH
+        # axes at this shape (BENCHMARKS.md "Post-hoc SGPR distillation").
+        sp8 = m8.sparsified_posterior(128, method="kmeans")
+        # quad_precision='high': the SGPR hoisted-inverse variance path —
+        # +30% on batched shapes with the guard IMPROVING here
+        # (BENCHMARKS.md "SGPR variance path")
+        pfc_q = PFConfig(num_particles=N_PARTICLES, quad_precision="high")
+        scan8s = jax.jit(
+            lambda s, Z, post, params: pf.pf_scan(
+                s, Z, post, params, log_T8, m8.config, pfc_q
+            )
+        )
+        state8s = pf.pf_init(
+            sp8, m8.layout.y_class_offsets, jax.random.PRNGKey(0), pfc_q
+        )
+        _, o8s = scan8s(state8s, Z8, sp8, m8.params)
+        jax.block_until_ready(o8s.class_probs)
+        w8s = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, o8s = scan8s(state8s, Z8, sp8, m8.params)
+            jax.block_until_ready(o8s.class_probs)
+            w8s = min(w8s, time.perf_counter() - t0)
+        c8_sp_fps = N_FRAMES / w8s
+        rep8s = evaluate_pf_banked(
+            m8, T8, [np.asarray(s) for s in te8], tel8, burn_in=5, seed=0,
+            config=pfc_q, posterior=sp8,
+        )
+        c8_sp_acc = rep8s.frame_metrics["accuracy"]
+    else:
+        c8_sp_fps = c8_sp_acc = None
+
     _mark("c8")
     # secondary metric: the BASELINE 8-class config at its LITERAL scale
     # (8 classes x 8 x 80-frame sequences = Ny 5120, the signature task)
@@ -397,21 +430,28 @@ def main() -> None:
         # strided subset at every M here (BENCHMARKS.md "Post-hoc SGPR
         # distillation").
         sp85 = m85.sparsified_posterior(384, method="kmeans")
-        state_sp = pf.pf_init(
-            sp85, m85.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+        # quad_precision='high': guard holds at 1.0 with +30% fps here
+        pfc85q = PFConfig(num_particles=N_PARTICLES, quad_precision="high")
+        scan85s = jax.jit(
+            lambda s, Z, post, params: pf.pf_scan(
+                s, Z, post, params, log_T85, m85.config, pfc85q
+            )
         )
-        _, osp = scan85(state_sp, Z85, sp85, m85.params)
+        state_sp = pf.pf_init(
+            sp85, m85.layout.y_class_offsets, jax.random.PRNGKey(0), pfc85q
+        )
+        _, osp = scan85s(state_sp, Z85, sp85, m85.params)
         jax.block_until_ready(osp.class_probs)
         wsp = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            _, osp = scan85(state_sp, Z85, sp85, m85.params)
+            _, osp = scan85s(state_sp, Z85, sp85, m85.params)
             jax.block_until_ready(osp.class_probs)
             wsp = min(wsp, time.perf_counter() - t0)
         c8n5120_sp_fps = T_frames85 / wsp
         rep_sp = evaluate_pf_banked(
             m85, T85, [np.asarray(te85[i]) for i in keep],
-            [tel85[i] for i in keep], burn_in=5, seed=0, config=pfc,
+            [tel85[i] for i in keep], burn_in=5, seed=0, config=pfc85q,
             posterior=sp85,
         )
         c8n5120_sp_acc = rep_sp.frame_metrics["accuracy"]
@@ -488,19 +528,27 @@ def main() -> None:
     # (deploy --sparsify 128): measured faster AND more accurate than the
     # exact banks at P=1k (BENCHMARKS.md "Post-hoc SGPR distillation").
     sp_head = m.sparsified_posterior(128)
-    states_sp = pf.pf_init_bank(
-        sp_head, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc_bank, B
+    # quad_precision='high': +30% banked with the guard IMPROVING
+    # (0.9833 -> 0.9985; BENCHMARKS.md "SGPR variance path")
+    pfc_bank_q = PFConfig(num_particles=P_bank, quad_precision="high")
+    bank_scan_sp = jax.jit(
+        lambda s, Z, post, params: pf.pf_scan_bank(
+            s, Z, post, params, log_T, cfg, pfc_bank_q
+        )
     )
-    _, bsp = bank_scan(states_sp, Zb, sp_head, m.params)
+    states_sp = pf.pf_init_bank(
+        sp_head, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc_bank_q, B
+    )
+    _, bsp = bank_scan_sp(states_sp, Zb, sp_head, m.params)
     jax.block_until_ready(bsp.class_probs)
     t0 = time.perf_counter()
     for _ in range(3):
-        _, bsp = bank_scan(states_sp, Zb, sp_head, m.params)
+        _, bsp = bank_scan_sp(states_sp, Zb, sp_head, m.params)
         jax.block_until_ready(bsp.class_probs)
     bank_sp_fps = B * T_bank * 3 / (time.perf_counter() - t0)
     rep_bsp = evaluate_pf_banked(
         m, [[0.9, 0.1], [0.1, 0.9]], [np.asarray(Zq) for Zq in q_seqs],
-        q_labels, burn_in=5, seed=0, config=pfc_bank, posterior=sp_head,
+        q_labels, burn_in=5, seed=0, config=pfc_bank_q, posterior=sp_head,
     )
     bank_sp_acc = rep_bsp.frame_metrics["accuracy"]
     _mark("bank64")
@@ -546,6 +594,12 @@ def main() -> None:
                 ),
                 "c8_fps": round(c8_fps, 1) if c8_fps is not None else None,
                 "c8_frame_acc": round(float(c8_acc), 4) if c8_acc is not None else None,
+                "c8_sparsified_fps": (
+                    round(c8_sp_fps, 1) if c8_sp_fps is not None else None
+                ),
+                "c8_sparsified_frame_acc": (
+                    round(float(c8_sp_acc), 4) if c8_sp_acc is not None else None
+                ),
                 "c8n5120_fps": (
                     round(c8n5120_fps, 1) if c8n5120_fps is not None else None
                 ),

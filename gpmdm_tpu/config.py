@@ -260,10 +260,17 @@ class PFConfig:
 
     @property
     def lax_quad_precision(self):
+        """None when ``quad_precision`` is unset — each posterior backend
+        then resolves its OWN default (exact/compressed: the main
+        ``precision``; sparse: the triangular-solve variance path).
+        Passing the main precision through here instead would silently
+        flip the sparse backends onto the hoisted-inverse matmul path —
+        caught when a bench run moved the hourlong guard 0.9994 -> 0.9817
+        with no config change (docs/BENCHMARKS.md "SGPR variance path")."""
         import jax
 
         if self.quad_precision is None:
-            return self.lax_precision
+            return None
         return {
             "default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,

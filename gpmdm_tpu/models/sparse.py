@@ -289,11 +289,12 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag, quad_precision=None):
     inverses Lm^-1 and (LB Lm)^-1 at that precision, instead of two
     HIGHEST-precision triangular solves per frame (the inversions are
     loop-invariant, so XLA lifts them out of filter scans).  Measured
-    SPEED-NEUTRAL at M=128/P=10k in an interleaved A/B — XLA's wide-rhs
-    triangular solve is already matmul-rich; a sequential comparison's
-    apparent +11.5% was tunnel contention drift.  Kept for interface
-    parity with the exact backend's quad knob and for re-measurement at
-    much larger M (docs/BENCHMARKS.md "SGPR variance path")."""
+    (interleaved A/B, M=128/P=10k): +12% PF fps single-filter and +30%
+    on batched shapes (bank-vmap, per-class C=8) where the batched
+    triangular solve lowers poorly; accuracy moves config-dependently
+    (hourlong -0.018, banked/multi-class +0.01..+0.015) — so the default
+    stays the tri-solve path and 'high' is a guard-arbitrated opt-in via
+    PFConfig.quad_precision (docs/BENCHMARKS.md "SGPR variance path")."""
     mean = jnp.matmul(Kstar_m.T, beta, precision=_PREC)  # (N*, Dout)
     if quad_precision is None:
         v1 = LA.tri_solve(Lm, Kstar_m)  # (M, N*)
@@ -395,9 +396,9 @@ def predict_y(
     """Sparse latent -> observation posterior; same contract as
     core.predict_y.  ``quad_precision`` (None = default) switches the
     variance path to hoisted-inverse MXU matmuls at that precision (see
-    _sgpr_predict; measured speed-neutral at M=128 — kept for interface
-    parity); ``recon_precision``/``fused`` are accepted for interface
-    parity and ignored (no reconstruction matmul, and the SGPR
+    _sgpr_predict; +12% single / +30% batched PF fps measured,
+    guard-arbitrated); ``recon_precision``/``fused`` are accepted for
+    interface parity and ignored (no reconstruction matmul, and the SGPR
     mean/variance operate on different factors)."""
     Kstar = K.rbf_kernel(post.Zy, Xstar, params.y_log_lengthscales, precision=precision)
     kss = K.y_diag_kernel(Xstar, params.y_log_sigma_n, cfg.sigma_n_num_Y, with_noise)

@@ -52,6 +52,10 @@ SHAPES = {
     "c8f": dict(family="exact", n_seqs=2, seq_len=60, C=8, D=10,
                 data=dict(center_spread=3.0, class_signature=1.0,
                           seed=21)),
+    # the committed bench_model_c8.npz (same task/guard protocol as c8f)
+    "c8": dict(family="exact", n_seqs=2, seq_len=60, C=8, D=10,
+               data=dict(center_spread=3.0, class_signature=1.0,
+                         seed=21)),
     "n2048": dict(family="exact", n_seqs=16, seq_len=64),
     "n5120": dict(family="exact", n_seqs=32, seq_len=80),
     "sparse10240": dict(family="sparse", n_seqs=64, seq_len=80),
