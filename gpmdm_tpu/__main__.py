@@ -150,6 +150,9 @@ def _cmd_eval(args) -> int:
     labels = [c for _, c in test]
     from .filter.particle_filter import resolve_posterior
 
+    if not args.sparsify and (args.sparsify_x or args.sparsify_method != "stride"):
+        print("--sparsify-x/--sparsify-method require --sparsify M")
+        return 2
     if args.sparsify:
         if not getattr(model, "_deploys_core_posterior", False):
             print(f"--sparsify applies to the exact family only; "
@@ -247,6 +250,9 @@ def _cmd_deploy(args) -> int:
     from .filter.particle_filter import resolve_posterior
 
     model = GPMDM.load(args.ckpt)
+    if not args.sparsify and (args.sparsify_x or args.sparsify_method != "stride"):
+        print("--sparsify-x/--sparsify-method require --sparsify M")
+        return 2
     if args.sparsify:
         if args.rank_y or args.rank_x:
             print("--sparsify and --rank-y/--rank-x are mutually exclusive")

@@ -286,7 +286,7 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag, quad_precision=None):
 
     ``quad_precision`` (None = default): when set, the variance path runs
     as two (M, M) @ (M, N*) MXU matmuls against the hoisted triangular
-    inverses Lm^-1 and (LB Lm)^-1 at that precision, instead of two
+    inverses Lm^-1 and LB^-1 Lm^-1 = (Lm LB)^-1 at that precision, instead of two
     HIGHEST-precision triangular solves per frame (the inversions are
     loop-invariant, so XLA lifts them out of filter scans).  Measured
     (interleaved A/B, M=128/P=10k): +12% PF fps single-filter and +30%
@@ -302,7 +302,7 @@ def _sgpr_predict(Lm, LB, beta, Kstar_m, kss_diag, quad_precision=None):
     else:
         eye = jnp.eye(Lm.shape[0], dtype=Lm.dtype)
         Vi = LA.tri_solve(Lm, eye)  # Lm^-1, loop-invariant
-        Wi = LA.tri_solve(LB, Vi)  # (LB Lm)^-1, loop-invariant
+        Wi = LA.tri_solve(LB, Vi)  # LB^-1 Lm^-1 = (Lm LB)^-1, loop-invariant
         v1 = jnp.matmul(Vi, Kstar_m, precision=quad_precision)
         v2 = jnp.matmul(Wi, Kstar_m, precision=quad_precision)
     var_common = kss_diag - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
@@ -494,9 +494,13 @@ def _kmeans(X: np.ndarray, M: int, iters: int = 25) -> np.ndarray:
         return X.copy()
     idx = np.linspace(0, n - 1, M).round().astype(int)
     C = X[idx].copy()
+    X2 = (X * X).sum(1)[:, None]  # (n, 1), loop-invariant
     for _ in range(iters):
-        # (n, M) squared distances, assignment, mean update
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        # (n, M) squared distances via the matmul form — the rank-3
+        # broadcast would materialize (n, M, dim) f64 temporaries
+        # (~0.4 GB/iter at Ny=108k); argmin is shift-invariant so X2
+        # could even be dropped, kept for the re-seed distances below
+        d2 = X2 + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         a = d2.argmin(1)
         newC = np.zeros_like(C)
         counts = np.bincount(a, minlength=M).astype(np.float64)

@@ -124,7 +124,7 @@ def save_model(model, file_path) -> None:
     sp_cache = getattr(model, "_sparsified_cache", None) or {}
     sp_keys, sp_idx, _sp_seen = [], [], {}
     for key, post in sp_cache.items():
-        sp_keys.append(list(key))  # (n_inducing_y, n_inducing_x|None)
+        sp_keys.append(list(key))  # (My, Mx|None) or (My, Mx|None, method)
         j = _sp_seen.get(id(post))
         if j is None:
             j = _sp_seen[id(post)] = len(_sp_seen)
