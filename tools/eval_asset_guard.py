@@ -9,6 +9,14 @@ hourlong step-319 scores 0.62 where step-159 scores 0.82).
 
 Usage: python tools/eval_asset_guard.py --config hourlong \
            [--files bench_assets/bench_model_hourlong_s*.npz] [--particles 500]
+
+Distillation-deployment selection (guard-arbitrated, docs/DEPLOY.md):
+sweep (M, method) grid points of the post-hoc SGPR distillation under
+the same guard and bake the cheapest point meeting an accuracy bar:
+
+    python tools/eval_asset_guard.py --config c8n5120 \
+        --sparsify-grid 128,256,384 --methods kmeans,stride \
+        --bar 0.99 --bake [--tpu]
 """
 
 from __future__ import annotations
@@ -52,7 +60,22 @@ def main() -> None:
     ap.add_argument("--particles", type=int, default=500)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the session TPU (handled at import)")
+    ap.add_argument("--sparsify-grid", default="",
+                    help="comma list of inducing counts M: sweep post-hoc "
+                         "distillations (GPMDM.sparsified_posterior) under "
+                         "the guard instead of the model's own posterior")
+    ap.add_argument("--methods", default="stride,kmeans",
+                    help="selection methods to cross with --sparsify-grid")
+    ap.add_argument("--bar", type=float, default=None,
+                    help="accuracy bar for --bake selection: the cheapest "
+                         "(smallest-M) grid point meeting it wins")
+    ap.add_argument("--bake", action="store_true",
+                    help="re-save the checkpoint with ONLY the winning "
+                         "grid point's factors persisted (guard-arbitrated "
+                         "deployment selection, docs/DEPLOY.md)")
     args = ap.parse_args()
+    if args.bake and (not args.sparsify_grid or args.bar is None):
+        ap.error("--bake requires --sparsify-grid and --bar")
 
     from gpmdm_tpu import GPMDM, PFConfig, SparseGPMDM
     from gpmdm_tpu.data import synthetic
@@ -79,24 +102,81 @@ def main() -> None:
     np.fill_diagonal(T_mat, 0.9)
     pfc = PFConfig(num_particles=args.particles)
     cls = GPMDM if shape["family"] == "exact" else SparseGPMDM
-    for path in files:
-        m = cls.load(path)
+
+    def guard(m, posterior=None):
         rep = evaluate_pf_banked(
             m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
             burn_in=5, seed=0, config=pfc,
-            max_banks=shape.get("guard_banks"),
+            max_banks=shape.get("guard_banks"), posterior=posterior,
         )
-        print(
-            json.dumps(
-                {
-                    "file": os.path.basename(path),
-                    "particles": args.particles,
-                    "frame_acc": round(rep.frame_metrics["accuracy"], 4),
-                    "frame_f1": round(rep.frame_metrics["f1"], 4),
-                }
-            ),
-            flush=True,
-        )
+        return rep.frame_metrics["accuracy"], rep.frame_metrics["f1"]
+
+    for path in files:
+        m = cls.load(path)
+        if not args.sparsify_grid:
+            acc, f1 = guard(m)
+            print(
+                json.dumps(
+                    {
+                        "file": os.path.basename(path),
+                        "particles": args.particles,
+                        "frame_acc": round(acc, 4),
+                        "frame_f1": round(f1, 4),
+                    }
+                ),
+                flush=True,
+            )
+            continue
+        # distillation-deployment sweep: score every (M, method) grid
+        # point with the SAME guard, then (--bake) persist only the
+        # cheapest point meeting --bar.  Smallest M = fastest filter
+        # (star kernel is (M, P)); methods tie-break in --methods order.
+        if not getattr(m, "_deploys_core_posterior", False):
+            print(json.dumps({"file": os.path.basename(path),
+                              "skipped": "not exact family"}))
+            continue
+        best = None  # (M, method_index, acc, key)
+        methods = [s for s in args.methods.split(",") if s]
+        for M in [int(x) for x in args.sparsify_grid.split(",") if x]:
+            for mi, meth in enumerate(methods):
+                sp = m.sparsified_posterior(M, method=meth)
+                acc, f1 = guard(m, posterior=sp)
+                print(
+                    json.dumps(
+                        {
+                            "file": os.path.basename(path),
+                            "variant": f"sparsified-M{sp.Zy.shape[0]}-{meth}",
+                            "particles": args.particles,
+                            "frame_acc": round(acc, 4),
+                            "frame_f1": round(f1, 4),
+                        }
+                    ),
+                    flush=True,
+                )
+                if args.bar is not None and acc >= args.bar:
+                    cand = (M, mi, acc)
+                    if best is None or cand[:2] < best[:2]:
+                        key = (int(M), None) if meth == "stride" \
+                            else (int(M), None, meth)
+                        best = (M, mi, acc, key)
+        if args.bar is not None:
+            if best is None:
+                print(json.dumps({"file": os.path.basename(path),
+                                  "selected": None,
+                                  "note": f"no grid point met bar {args.bar}"}),
+                      flush=True)
+                continue
+            M, mi, acc, key = best
+            print(json.dumps({"file": os.path.basename(path),
+                              "selected": f"M={M} method={methods[mi]}",
+                              "frame_acc": round(acc, 4)}), flush=True)
+            if args.bake:
+                # persist ONLY the winner: the sweep's other factors
+                # would otherwise all ride along in the checkpoint
+                m._sparsified_cache = {key: m._sparsified_cache[key]}
+                m.save(path)
+                print(json.dumps({"file": os.path.basename(path),
+                                  "baked": list(key)}), flush=True)
 
 
 if __name__ == "__main__":
