@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--sparsify", type=int, default=0, metavar="M",
                     help="deploy the post-hoc SGPR distillation "
                          "(GPMDM.sparsified_posterior) at M inducing points")
+    ap.add_argument("--quad-precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="PFConfig.quad_precision (sparse backends: the "
+                         "hoisted-inverse MXU variance path)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +64,7 @@ def main() -> None:
         post, post_label = m.posterior, "exact"
 
     for P in args.particles:
-        pfc = PFConfig(num_particles=P)
+        pfc = PFConfig(num_particles=P, quad_precision=args.quad_precision)
         scan = jax.jit(
             lambda s, Z, post, params, pfc=pfc: pf.pf_scan(
                 s, Z, post, params, log_T, m.config, pfc
