@@ -341,6 +341,43 @@ def _packed_gather_vmap(axis_size, in_batched, packed, idx):
     return flat.reshape((B, P) + packed.shape[2:]), True
 
 
+@jax.custom_batching.custom_vmap
+def _packed_gather_sorted(packed: jax.Array, idx: jax.Array) -> jax.Array:
+    """_packed_gather for MONOTONE indices (systematic resampling: idx_i
+    is a cumulative count, nondecreasing, clipped in-bounds).  The
+    sorted+in-bounds hints measured -15% on an ISOLATED (P=100k, 8)
+    gather (0.404 vs 0.474 ms) but neutral inside the full compiled step
+    (535.8 vs 532.7 fps at 100k — the step overlaps the gather) and
+    neutral at 10k banked (tools/exp_sorted_gather.py).  Kept: valid,
+    free, and the isolated win says it can matter when the surrounding
+    overlap changes.  Multinomial indices are NOT sorted; pf_step
+    dispatches on the resampling mode."""
+    return packed.at[idx].get(indices_are_sorted=True, mode="promise_in_bounds")
+
+
+@_packed_gather_sorted.def_vmap
+def _packed_gather_sorted_vmap(axis_size, in_batched, packed, idx):
+    # same flat-bank rule as _packed_gather_vmap (bank offsets preserve
+    # monotonicity within the flattened index vector)
+    packed_b, idx_b = in_batched
+    if not idx_b:
+        idx = jnp.broadcast_to(idx[None], (axis_size,) + idx.shape)
+    if not packed_b:
+        return jax.vmap(
+            lambda i: packed.at[i].get(
+                indices_are_sorted=True, mode="promise_in_bounds"
+            )
+        )(idx), True
+    B, P = idx.shape[0], idx.shape[1]
+    flat_idx = (
+        idx + (jnp.arange(B, dtype=idx.dtype) * P)[:, None]
+    ).reshape(B * P)
+    flat = packed.reshape((B * P,) + packed.shape[2:]).at[flat_idx].get(
+        indices_are_sorted=True, mode="promise_in_bounds"
+    )
+    return flat.reshape((B, P) + packed.shape[2:]), True
+
+
 #: Training-set size beyond which the exact posterior's f32 'high'-precision
 #: quad matmul has a MEASURED accuracy collapse (Ny=5120: 0.547 frame
 #: accuracy vs 1.000 for quad_precision='highest' or the compressed
@@ -692,8 +729,10 @@ def pf_step(
         packed, log_w, k = operand
         if pf_cfg.resampling == "systematic":
             idx = systematic_resample_indices(k, log_w)
-        else:
-            idx = multinomial_resample_indices(k, log_w)
+            # systematic indices are monotone: the sorted-gather hints
+            # measured -15% at P=100k (see _packed_gather_sorted)
+            return _packed_gather_sorted(packed, idx), uniform_log_w
+        idx = multinomial_resample_indices(k, log_w)
         return _packed_gather(packed, idx), uniform_log_w
 
     if pf_cfg.resample_threshold >= 1.0:
