@@ -76,3 +76,35 @@ def test_headline_asset_deploys_exact():
     post = pf.resolve_posterior(m, "auto")
     assert post is m.posterior
     assert type(post).__name__ == "Posterior"
+
+
+def test_baked_sparsified_deployments_present(monkeypatch):
+    """bench.py's distilled sections look up SPECIFIC sparsified cache keys
+    in the committed assets; a re-save that drops one would silently make
+    the bench re-distill on the fly (and, for the kmeans bakes, possibly
+    with different centroids if the k-means code drifted).  Pin the exact
+    keys, and that fetching them runs no host distillation."""
+    from gpmdm_tpu.models import sparse as sparse_mod
+
+    expected = {
+        "bench_model.npz": (128, None),              # banked section, stride
+        "bench_model_c8.npz": (128, None, "kmeans"),
+        "bench_model_c8n5120.npz": (384, None, "kmeans"),
+        "bench_model_n5120.npz": (128, None),
+        "bench_model_n2048.npz": (128, None),
+    }
+
+    def _boom(*a, **k):  # pragma: no cover - fires only on regression
+        raise AssertionError("distill_host ran: baked factors missing")
+
+    monkeypatch.setattr(sparse_mod, "distill_host", _boom)
+    for name, key in expected.items():
+        m = GPMDM.load(_asset(name))
+        cache = getattr(m, "_sparsified_cache", None) or {}
+        assert key in cache, f"{name}: baked sparsified key {key} missing"
+        kw = {"n_inducing_y": key[0]}
+        if len(key) == 3:
+            kw["method"] = key[2]
+        post = m.sparsified_posterior(**kw)
+        assert type(post).__name__ == "SparsePosterior"
+        assert post.Zy.shape[0] == key[0]
