@@ -1,5 +1,5 @@
 """The notebooks/ entry points (mirrors of the reference's five
-notebooks) must stay valid: parseable ipynb JSON, compilable code cells,
+notebooks, plus the framework-original deployment guide) must stay valid: parseable ipynb JSON, compilable code cells,
 and references only to symbols that actually exist."""
 
 import json
@@ -10,6 +10,7 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 NB_DIR = REPO / "notebooks"
 EXPECTED = [
+    "deploy_gpmdm.ipynb",
     "train_gpmdm.ipynb",
     "test_gpmdm_pf.ipynb",
     "view_gpmdm_pf.ipynb",

@@ -1,5 +1,6 @@
 """Generate the notebooks/ directory: thin .ipynb mirrors of the
-reference's five entry-point notebooks (SURVEY.md §2.1 #11-15).
+reference's five entry-point notebooks (SURVEY.md §2.1 #11-15) plus the
+framework-original deployment guide (deploy_gpmdm.ipynb).
 
 The notebooks are the reference's user surface; each generated notebook
 reproduces its cell flow against this framework's API, falling back to
@@ -203,6 +204,84 @@ import subprocess
 subprocess.run([sys.executable, str(ROOT / "examples/joints.py"),
                 "--out-dir", str(ROOT)], check=True)
 print("wrote zero/perturbed pose PNGs + skeleton GIF into", ROOT)"""),
+    ],
+    "deploy_gpmdm.ipynb": [
+        md("# Deploy a trained GPMDM\n\nFramework-original guide (no "
+           "reference counterpart): pick the serving posterior for a "
+           "trained model — exact, low-rank **compressed**, or post-hoc "
+           "SGPR **distilled** — arbitrated by a held-out accuracy guard, "
+           "then bake the winner into the checkpoint so production loads "
+           "deploy with zero host precompute.  Full measured guidance: "
+           "`docs/DEPLOY.md` / `docs/BENCHMARKS.md`."),
+        code(SETUP),
+        code("""\
+# A trained exact model: the repo's committed headline asset (instant),
+# else train a small one on the synthetic limit cycles
+import numpy as np
+from gpmdm_tpu import GPMDM
+asset = ROOT / "bench_assets" / "bench_model.npz"
+if asset.exists():
+    m = GPMDM.load(str(asset))
+else:
+    from gpmdm_tpu.data import synthetic
+    tr, tl, *_ = synthetic.make_dataset(n_classes=2, n_train_seqs=4,
+                                        n_test_seqs=1, seq_len=60, D=35, seed=0)
+    m = GPMDM(D=35, d=2, n_classes=2, dtype="float32",
+              y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, c in zip(tr, tl):
+        m.add_data(Y, c)
+    m.init_X()
+    m.train_adam(num_opt_steps=300, lr=0.01)
+print(f"Ny={m.layout.Ny} training frames, D={m.D}, C={m.n_classes}")"""),
+        code("""\
+# The three deployment posteriors.  'auto' (what GPMDM_PF defaults to)
+# picks exact below Ny=1024 and compressed above; distillation is the
+# explicit serving knob (star kernel (M, P) instead of (Ny, P) per frame)
+from gpmdm_tpu.filter.particle_filter import resolve_posterior
+posts = {
+    "auto": resolve_posterior(m, "auto"),
+    "compressed": m.compressed_posterior(),
+    "distilled-M128": m.sparsified_posterior(128, method="kmeans"),
+}
+for name, p in posts.items():
+    print(f"{name:>16}: {type(p).__name__}")"""),
+        code("""\
+# Guard-arbitrate: stream held-out labeled trials through each posterior
+# with the SAME filter config and compare accuracy (docs/DEPLOY.md —
+# every perf knob in this framework is adopted or rejected this way)
+from gpmdm_tpu import PFConfig
+from gpmdm_tpu.data import synthetic
+from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+_, _, q_seqs, q_labels = synthetic.make_dataset(
+    n_classes=2, n_train_seqs=4, n_test_seqs=6, seq_len=60, D=m.D, seed=0)
+pfc = PFConfig(num_particles=500)
+for name, p in posts.items():
+    rep = evaluate_pf_banked(m, [[0.9, 0.1], [0.1, 0.9]],
+                             [np.asarray(s) for s in q_seqs], q_labels,
+                             burn_in=5, seed=0, config=pfc, posterior=p)
+    fm = rep.frame_metrics
+    print(f"{name:>16}: frame acc {fm['accuracy']:.4f}  f1 {fm['f1']:.4f}")"""),
+        code("""\
+# Bake the chosen deployment into the checkpoint: save() persists the
+# compressed cache, distilled factors, and sparse posteriors, so a
+# production load never redoes the O(N^3)/O(N M^2) host work
+# (CLI equivalents: python -m gpmdm_tpu deploy ckpt --sparsify 128
+#  --sparsify-method kmeans; grid selection: tools/eval_asset_guard.py
+#  --sparsify-grid 64,128 --bar 0.99 --bake)
+ckpt = MODELS_DIR / "gpmdm_deployed.npz"
+m.save(str(ckpt))
+m2 = GPMDM.load(str(ckpt))
+sp = m2.sparsified_posterior(128, method="kmeans")  # cache hit: instant
+print("reloaded; distilled factors present:", sp.Zy.shape,
+      "| exact build still deferred:", m2._posterior is None)"""),
+        md("Serving knobs worth knowing (each measured, each behind the "
+           "same guard discipline): `PFConfig(quad_precision='high')` — "
+           "MXU variance path for sparse/distilled backends, +30% on "
+           "banked/multi-class shapes; `fuse_mean_quad='auto'` — single-"
+           "matmul mean+variance at C<=2; `pf_scan_bank` / `eval "
+           "--banked` — many filters in one compiled dispatch (38.8k "
+           "aggregate fps at 64x1k distilled on one v5e chip).  See "
+           "`docs/DEPLOY.md` for the regime table."),
     ],
 }
 
