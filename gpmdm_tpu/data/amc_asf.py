@@ -94,6 +94,12 @@ class Motion:
         per-frame representation, amc_parser.py:243-258)."""
         return {name: list(arr[t]) for name, arr in self.channels.items()}
 
+    def __len__(self) -> int:
+        """Frame count — the reference's parse_amc returns a LIST of
+        per-frame dicts (amc_parser.py:243-258), so ``len(motion)`` is
+        part of its user surface (notebooks/joints.ipynb cell 2)."""
+        return self.n_frames
+
 
 class ParseError(ValueError):
     pass
