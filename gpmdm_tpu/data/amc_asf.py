@@ -100,6 +100,11 @@ class Motion:
         part of its user surface (notebooks/joints.ipynb cell 2)."""
         return self.n_frames
 
+    def __getitem__(self, t: int) -> Dict[str, List[float]]:
+        """``motion[t]`` — the reference's list indexing idiom (its
+        viewer/Joint.set_motion consume ``motions[frame_idx]`` dicts)."""
+        return self.frame(t)
+
 
 class ParseError(ValueError):
     pass
