@@ -122,7 +122,7 @@ def _cmd_train(args) -> int:
     logger = _make_logger(args)
     losses = model.train_adam(
         num_opt_steps=args.steps, num_print_steps=max(1, args.steps // 10),
-        lr=args.lr, logger=logger,
+        lr=args.lr, logger=logger, optimizer=args.optimizer,
     )
     print(f"final loss {losses[-1]:.4e}")
     if args.deploy:
@@ -378,6 +378,9 @@ def main(argv=None) -> int:
     pt.add_argument("--back-step", type=int, default=1, choices=[1, 2])
     pt.add_argument("--steps", type=int, default=500)
     pt.add_argument("--lr", type=float, default=0.01)
+    pt.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"],
+                    help="adam (reference parity) or lbfgs (second-order, "
+                         "linesearch per step: use ~5-10x fewer --steps)")
     pt.add_argument("--dtype", default="float32")
     pt.add_argument("--sparse", action="store_true",
                     help="sparse inducing-point model (O(N M^2) training)")

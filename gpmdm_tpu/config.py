@@ -111,7 +111,13 @@ class GPMDMConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
-    """Optimizer configuration (reference: ``train_adam`` args, gpmdm.py:817)."""
+    """Optimizer configuration (reference: ``train_adam`` args, gpmdm.py:817).
+
+    ``optimizer`` selects 'adam' (reference parity) or 'lbfgs' (optax
+    L-BFGS with zoom linesearch — the SURVEY §7.1 optional second-order MAP
+    trainer; ``lr`` is ignored and ``lbfgs_memory`` sets the two-loop
+    history length).  Each L-BFGS step runs a linesearch (several loss
+    evaluations), so far fewer steps are needed than with Adam."""
 
     num_steps: int = 500
     lr: float = 0.01
@@ -119,6 +125,8 @@ class TrainConfig:
     print_every: int = 0
     checkpoint_every: int = 0
     checkpoint_path: str | None = None
+    optimizer: str = "adam"
+    lbfgs_memory: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

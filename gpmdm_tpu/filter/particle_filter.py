@@ -720,6 +720,11 @@ def pf_step(
     #    of three separate gathers; with an ESS threshold the whole gather
     #    runs under lax.cond and is skipped on healthy frames.
     d = x_new.shape[1]
+    # Packed width is a free variable: row-gather cost on TPU is FLAT in
+    # the minor dimension up to one 128-lane tile (measured at P=100k:
+    # widths 3/5/16/128 all ~0.52 ms incl. index computation — rows pad to
+    # the lane tile regardless), so dropping x_prev for back_step=1 models
+    # buys nothing and adding payload below 128 lanes costs nothing.
     packed = jnp.concatenate(
         [x_new, state.x, c.astype(x_new.dtype)[:, None]], axis=1
     )  # (P, 2d+1)

@@ -120,14 +120,18 @@ class BCGPMDM(GPMDM):
     # ---------------------------------------------------------- training
 
     def train_adam(self, num_opt_steps, num_print_steps=0, lr=0.01,
-                   balance=1.0, logger=None):
+                   balance=1.0, logger=None, optimizer="adam"):
         from ..config import TrainConfig
         from ..train.trainer import train_adam as _train
 
         self._require_init()
         mode = self._training_mode or "all"
         tc = TrainConfig(num_steps=num_opt_steps, lr=lr, balance=balance,
-                         print_every=num_print_steps)
+                         print_every=num_print_steps, optimizer=optimizer)
+        if optimizer != getattr(self, "_opt_name", "adam"):
+            self._opt_state = None
+        self._opt_name = optimizer
+        self._lbfgs_memory = tc.lbfgs_memory
 
         def log(step, loss, t):
             print(f"BC-GPDM Opt. step {step}: loss {loss:.4e}  ({t:.1f}s)")

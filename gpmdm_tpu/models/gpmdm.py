@@ -403,21 +403,28 @@ class GPMDM:
         lr: float = 0.01,
         balance: float = 1.0,
         logger=None,
+        optimizer: str = "adam",
     ) -> List[float]:
         """Optimize with Adam (reference train_adam, gpmdm.py:817-885).
 
         Returns the per-step loss history.  Optimizer state is kept on the
         instance, so consecutive calls resume rather than restart Adam
-        moments.  ``logger`` (utils.logging.MetricLogger) receives
-        structured loss / steps-per-sec records per chunk.
+        moments (switching ``optimizer`` resets it).  ``logger``
+        (utils.logging.MetricLogger) receives structured loss /
+        steps-per-sec records per chunk.
         """
         from ..train.trainer import train_adam as _train
 
         self._require_init()
         mode = self._training_mode or "all"
         tc = TrainConfig(
-            num_steps=num_opt_steps, lr=lr, balance=balance, print_every=num_print_steps
+            num_steps=num_opt_steps, lr=lr, balance=balance,
+            print_every=num_print_steps, optimizer=optimizer,
         )
+        if optimizer != getattr(self, "_opt_name", "adam"):
+            self._opt_state = None  # moments/history are not transferable
+        self._opt_name = optimizer
+        self._lbfgs_memory = tc.lbfgs_memory
 
         def log(step, loss, t):
             if num_print_steps:
@@ -438,6 +445,22 @@ class GPMDM:
         self._opt_state = result.opt_state
         self._precompute_kernel_inverses()
         return [float(l) for l in result.losses]
+
+    def train_lbfgs(
+        self,
+        num_opt_steps: int,
+        num_print_steps: int = 0,
+        balance: float = 1.0,
+        logger=None,
+    ) -> List[float]:
+        """Optimize with L-BFGS (optax two-loop recursion + zoom
+        linesearch) — the SURVEY §7.1 optional second-order MAP trainer.
+        No reference counterpart (the reference trains with Adam only);
+        each step runs a linesearch, so far fewer steps are needed."""
+        return self.train_adam(
+            num_opt_steps, num_print_steps=num_print_steps, balance=balance,
+            logger=logger, optimizer="lbfgs",
+        )
 
     # ----------------------------------------------------------- prediction
 

@@ -67,6 +67,21 @@ def trainable_mask(cfg: GPMDMConfig, mode: str = "all") -> core.GPMDMParams:
     )
 
 
+def _mask_and_loss(cfg: GPMDMConfig, mode: str, kind: str):
+    """(trainability mask, loss_fn) for a model family ``kind``."""
+    if kind == "exact":
+        return trainable_mask(cfg, mode), core.nll
+    if kind == "sparse":
+        from ..models import sparse
+
+        return sparse_trainable_mask(cfg, mode), sparse.sparse_nll
+    if kind == "bc":
+        from ..models.back_constrained import bc_nll
+
+        return trainable_mask(cfg, mode), bc_nll  # W rides in the X slot
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
 @functools.lru_cache(maxsize=64)
 def _get_run_chunk(
     cfg: GPMDMConfig,
@@ -75,29 +90,25 @@ def _get_run_chunk(
     balance: float,
     mode: str,
     kind: str = "exact",
+    optimizer_name: str = "adam",
+    memory_size: int = 10,
 ):
     """Build (optimizer, jitted chunk runner) once per (config, layout,
     hyperparameter) combination — a fresh jax.jit per train_adam call would
     recompile the whole scan every time.  ``kind`` selects the model family:
     'exact' (core.nll) or 'sparse' (sparse.sparse_nll + inducing-input
-    mask)."""
-    optimizer = optax.adam(lr)
-    if kind == "exact":
-        mask = trainable_mask(cfg, mode)
-        loss_fn = core.nll
-    elif kind == "sparse":
-        from ..models import sparse
-
-        mask = sparse_trainable_mask(cfg, mode)
-        loss_fn = sparse.sparse_nll
-    elif kind == "bc":
-        from ..models.back_constrained import bc_nll
-
-        mask = trainable_mask(cfg, mode)  # W rides in the X slot
-        loss_fn = bc_nll
+    mask); ``optimizer_name`` selects 'adam' (reference parity,
+    gpmdm.py:817-885) or 'lbfgs' (optax L-BFGS + zoom linesearch — the
+    SURVEY §7 optional second-order MAP trainer; no reference counterpart)."""
+    mask, loss_fn = _mask_and_loss(cfg, mode, kind)
+    if optimizer_name == "adam":
+        optimizer = optax.adam(lr)
+        step = make_update_step(cfg, layout, optimizer, balance, mask, loss_fn)
+    elif optimizer_name == "lbfgs":
+        optimizer = optax.lbfgs(memory_size=memory_size)
+        step = make_lbfgs_step(cfg, layout, optimizer, balance, mask, loss_fn)
     else:
-        raise ValueError(f"unknown model kind {kind!r}")
-    step = make_update_step(cfg, layout, optimizer, balance, mask, loss_fn)
+        raise ValueError(f"unknown optimizer {optimizer_name!r}")
 
     @partial(jax.jit, static_argnames=("n",))
     def run_chunk(params, opt_state, Y, n):
@@ -168,6 +179,58 @@ def make_update_step(
     return step
 
 
+def make_lbfgs_step(
+    cfg: GPMDMConfig,
+    layout: DataLayout,
+    optimizer: optax.GradientTransformation,
+    balance: float,
+    mask: core.GPMDMParams,
+    loss_fn: Callable = None,
+) -> Callable:
+    """One jittable L-BFGS step (optax.lbfgs: two-loop recursion + zoom
+    linesearch).
+
+    No reference counterpart (the reference trains with Adam only); this is
+    the SURVEY §7.1 'optional L-BFGS' trainer — the standard second-order
+    choice for GPDM MAP objectives (smooth, deterministic, full-batch).
+
+    Trainability flags are enforced by masking the gradient fed to the
+    optimizer: the L-BFGS two-loop recursion maps the masked subspace to
+    itself (the search direction is a linear combination of masked gradients
+    and masked parameter displacements), so frozen coordinates never move —
+    no post-hoc update masking needed.  The linesearch's value function sees
+    the full loss, which is correct because candidate points only vary along
+    the masked direction.
+    """
+    if loss_fn is None:
+        loss_fn = core.nll
+
+    def step(carry, _):
+        params, opt_state, Y = carry
+
+        def value_fn(p):
+            return loss_fn(p, Y, cfg, layout, balance)
+
+        loss, grads = jax.value_and_grad(value_fn)(params)
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, new_opt_state = optimizer.update(
+            grads, opt_state, params, value=loss, grad=grads, value_fn=value_fn
+        )
+        new_params = optax.apply_updates(params, updates)
+        # NaN freeze, same contract as the Adam step: a non-finite loss
+        # leaves parameters and optimizer state untouched.
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
+        )
+        return (new_params, new_opt_state, Y), loss
+
+    return step
+
+
 def train_adam(
     params: core.GPMDMParams,
     Y: jax.Array,
@@ -193,7 +256,8 @@ def train_adam(
     first-class training metrics.
     """
     optimizer, run_chunk = _get_run_chunk(
-        cfg, layout, train_cfg.lr, train_cfg.balance, mode, kind
+        cfg, layout, train_cfg.lr, train_cfg.balance, mode, kind,
+        train_cfg.optimizer, train_cfg.lbfgs_memory,
     )
     if opt_state is None:
         opt_state = optimizer.init(params)

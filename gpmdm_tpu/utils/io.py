@@ -59,6 +59,10 @@ def save_model(model, file_path) -> None:
         ],
         "initialized": model.params is not None,
         "has_opt_state": model._opt_state is not None,
+        # which optimizer produced _opt_state: the load path must rebuild
+        # the matching treedef (lbfgs state has more leaves than adam's)
+        "optimizer_name": getattr(model, "_opt_name", "adam"),
+        "lbfgs_memory": getattr(model, "_lbfgs_memory", 10),
         "init_hypers": {
             k: (v.tolist() if isinstance(v, np.ndarray) else v)
             for k, v in model._init_hypers.items()
@@ -244,14 +248,21 @@ def load_model(cls, file_path):
                 import jax
                 import optax
 
-                # Rebuild the adam state treedef from a fresh init, then
-                # overwrite the leaves with the saved moments.
-                template = optax.adam(1e-3).init(model.params)
+                # Rebuild the saved optimizer's state treedef from a fresh
+                # init, then overwrite the leaves with the saved state.
+                opt_name = meta.get("optimizer_name", "adam")
+                if opt_name == "lbfgs":
+                    template = optax.lbfgs(
+                        memory_size=meta.get("lbfgs_memory", 10)
+                    ).init(model.params)
+                else:
+                    template = optax.adam(1e-3).init(model.params)
                 treedef = jax.tree.structure(template)
                 leaves = [
                     jnp.asarray(data[f"opt_{i}"]) for i in range(meta["n_opt_leaves"])
                 ]
                 model._opt_state = jax.tree.unflatten(treedef, leaves)
+                model._opt_name = opt_name
             if meta.get("model_class") == "BCGPMDM":
                 model._materialize()  # X <- K_b @ W, then precompute
             elif meta.get("posterior_class") == "SparsePosterior":

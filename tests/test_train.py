@@ -85,3 +85,75 @@ def test_posterior_refreshed_after_training():
     m = small_model()
     m.train_adam(num_opt_steps=5, lr=0.01)
     np.testing.assert_array_equal(np.asarray(m.posterior.X), np.asarray(m.params.X))
+
+
+# ---------------------------------------------------------------- L-BFGS
+
+
+def test_lbfgs_decreases_and_beats_adam_per_step():
+    """SURVEY §7.1 'optional L-BFGS': with a linesearch per step it must
+    reach a lower MAP loss than Adam at the SAME step count (measured on
+    this seed: -3773 vs -2984 at 30 steps)."""
+    m = small_model()
+    l0 = m.gpdm_loss()
+    losses = m.train_lbfgs(num_opt_steps=30)
+    assert len(losses) == 30
+    assert losses[-1] < l0
+    m2 = small_model()
+    adam = m2.train_adam(num_opt_steps=30, lr=0.01)
+    assert losses[-1] <= adam[-1] + 1e-6, (losses[-1], adam[-1])
+
+
+def test_lbfgs_respects_trainability_flags():
+    m = small_model(flg_train_y_sigma_n=False)
+    before = float(m.params.y_log_sigma_n)
+    m.train_lbfgs(num_opt_steps=5)
+    assert float(m.params.y_log_sigma_n) == before
+
+
+def test_lbfgs_switch_resets_opt_state():
+    """Adam moments are not transferable to L-BFGS state: switching the
+    optimizer mid-model must reinitialize rather than crash."""
+    m = small_model()
+    m.train_adam(num_opt_steps=5, lr=0.01)
+    losses = m.train_lbfgs(num_opt_steps=5)
+    assert np.isfinite(losses[-1])
+    losses2 = m.train_adam(num_opt_steps=5, lr=0.01)
+    assert np.isfinite(losses2[-1])
+
+
+def test_lbfgs_sparse_and_bc_families():
+    from gpmdm_tpu import BCGPMDM, SparseGPMDM
+
+    train_seqs, train_labels, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=25, D=8, seed=3
+    )
+    for cls, kw in ((SparseGPMDM, dict(n_inducing_y=12, n_inducing_x=12)),
+                    (BCGPMDM, {})):
+        m = cls(D=8, d=2, n_classes=2, dtype="float64", **kw)
+        for Y, c in zip(train_seqs, train_labels):
+            m.add_data(Y, c)
+        m.init_X()
+        l0 = m.gpdm_loss()
+        losses = m.train_adam(num_opt_steps=8, optimizer="lbfgs")
+        assert np.isfinite(losses[-1])
+        assert losses[-1] < l0, (cls.__name__, losses[-1], l0)
+
+
+def test_lbfgs_opt_state_roundtrips_through_checkpoint(tmp_path):
+    """GPMDM.save after L-BFGS training must reload (the loader rebuilds
+    the optimizer-specific state treedef — an adam-only template raised
+    'Too many leaves for PyTreeDef', caught by the CLI verify drive)."""
+    m = small_model()
+    m.train_lbfgs(num_opt_steps=5)
+    path = tmp_path / "m_lbfgs.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2._opt_state is not None
+    assert getattr(m2, "_opt_name", "adam") == "lbfgs"
+    import jax
+
+    assert jax.tree.structure(m2._opt_state) == jax.tree.structure(m._opt_state)
+    # resumed training from the loaded state stays finite and keeps falling
+    losses = m2.train_lbfgs(num_opt_steps=3)
+    assert np.isfinite(losses[-1])
