@@ -369,6 +369,9 @@ def main(argv=None) -> int:
         sp.add_argument("--downsample", type=int, default=4)
         sp.add_argument("--jsonl", default=None,
                         help="write structured metric records (JSON lines) here")
+        sp.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the run into "
+                             "DIR (view with TensorBoard / Perfetto)")
 
     pt = sub.add_parser("train", help="train a GPMDM and save a checkpoint")
     add_data_args(pt)
@@ -487,6 +490,15 @@ def main(argv=None) -> int:
     pd.set_defaults(fn=_cmd_demo)
 
     args = p.parse_args(argv)
+    if getattr(args, "trace", None):
+        # SURVEY §5 tracing: capture the whole command as a jax.profiler
+        # trace (device + host timelines; open in TensorBoard/Perfetto)
+        from .utils.profiling import trace as _trace
+
+        with _trace(args.trace):
+            rc = args.fn(args)
+        print(f"profiler trace written to {args.trace}")
+        return rc
     return args.fn(args)
 
 

@@ -124,3 +124,18 @@ def test_cli_deploy_rank_rejected_for_sparse(tmp_path, capsys):
     rc = main(["deploy", str(p), "--rank-y", "8"])
     assert rc == 2
     assert "exact family only" in capsys.readouterr().out
+
+
+def test_cli_eval_trace_writes_profiler_capture(tmp_path, capsys):
+    """--trace wraps the command in a jax.profiler capture (SURVEY §5
+    tracing): the output dir must contain an xplane protobuf."""
+    m = _small_model()
+    src = tmp_path / "m.npz"
+    m.save(src)
+    trace_dir = tmp_path / "trace"
+    rc = main(["eval", str(src), "--particles", "20", "--burn-in", "2",
+               "--trace", str(trace_dir)])
+    assert rc == 0
+    assert "profiler trace written" in capsys.readouterr().out
+    files = list(trace_dir.rglob("*.xplane.pb"))
+    assert files, list(trace_dir.rglob("*"))
