@@ -115,6 +115,7 @@ def _cmd_train(args) -> int:
         y_sigma_n_init=1e-2,
         x_sigma_n_init=1e-2,
         dtype=args.dtype,
+        hyperprior_weight=args.hyperprior,
     )
     for Y, c in train:
         model.add_data(np.asarray(Y), c)
@@ -268,6 +269,15 @@ def _cmd_deploy(args) -> int:
         )
         kind = (f"sparsified (M_y={post.Zy.shape[0]}, "
                 f"M_x={post.Zx.shape[1]}, method={args.sparsify_method})")
+        # deployment recommendation: an explicit `deploy --sparsify` IS the
+        # deployment decision — posterior='auto' (GPMDM_PF default, eval)
+        # now resolves to these factors instead of the size thresholds
+        # (resolve_posterior; guard-arbitrate with tools/eval_asset_guard)
+        model._deploy_recommendation = {
+            "family": "sparsified", "M": int(args.sparsify),
+            "Mx": int(args.sparsify_x) if args.sparsify_x else None,
+            "method": args.sparsify_method, "source": "deploy-cli",
+        }
         out = args.out or args.ckpt
         model.save(out)
         print(f"deployed posterior: {kind}\nsaved {out}")
@@ -381,6 +391,11 @@ def main(argv=None) -> int:
     pt.add_argument("--back-step", type=int, default=1, choices=[1, 2])
     pt.add_argument("--steps", type=int, default=500)
     pt.add_argument("--lr", type=float, default=0.01)
+    pt.add_argument("--hyperprior", type=float, default=0.0, metavar="W",
+                    help="log-space Gaussian hyperprior weight (centered at "
+                         "the init hyperparameters); 0 = reference parity. "
+                         "Regularizes the large-Ny MAP drift that degrades "
+                         "deployment accuracy and NaNs f32 TPU training")
     pt.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"],
                     help="adam (reference parity) or lbfgs (second-order, "
                          "linesearch per step: use ~5-10x fewer --steps)")

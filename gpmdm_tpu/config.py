@@ -79,6 +79,32 @@ class GPMDMConfig:
     # Quinonero-Candela 2006).  0.0 = unconstrained X (the reference's
     # parameterization).
     back_constraint_ls: float = 0.0
+    # Gaussian hyperprior on the LOG kernel hyperparameters, centered at
+    # their init values: adds ``w * sum((log_h - center)^2)`` to the MAP
+    # loss (core.hyperprior_penalty).  0.0 (default) = the reference's
+    # improper-uniform hyperprior (gpmdm.py:721-760 has no prior term).
+    # Rationale (docs/BENCHMARKS.md "Four training findings"): at large
+    # Ny the unregularized MAP optimum drifts into degeneracy — sigma_n
+    # sharpening past the residual scale, x_lin_coeff exploding to 3-18 —
+    # and the drift ALSO walks the f32 Gram condition over the TPU
+    # Cholesky cliff (the NaN freeze).  A log-space quadratic pull toward
+    # init bounds both failure modes without freezing any hyperparameter.
+    hyperprior_weight: float = 0.0
+    # Static log-space centers (y_ls, y_lam, y_sn, x_ls, x_lam, x_sn,
+    # x_lin), set by the GPMDM ctor from the *_init args; None defaults
+    # to log(1)=0 for all but sigma_n (log 1e-2, the ctor default).
+    hyperprior_centers: Tuple[float, ...] | None = None
+    # Factor the dynamics loss Gram as chol(RBF + noise) + exact
+    # rank-(din+1) fold-in of the linear kernel (core.x_block_terms_
+    # deflated) instead of chol(RBF + linear + noise).  Mathematically
+    # identical; removes the f32 TPU Cholesky NaN cliff (the linear term
+    # manufactures condition numbers ~1e7 as training drifts — measured,
+    # docs/BENCHMARKS.md round 4).  False = the reference-shaped direct
+    # factorization (gpmdm.py:616-620).
+    deflate_x_linear: bool = True
+
+    _HYPERPRIOR_DEFAULT_CENTERS = (0.0, 0.0, float(np.log(1e-2)),
+                                   0.0, 0.0, float(np.log(1e-2)), 0.0)
 
     def __post_init__(self):
         if self.dyn_target not in ("full", "delta"):
@@ -87,6 +113,18 @@ class GPMDMConfig:
             raise ValueError("dyn_back_step must be 1 or 2")
         if self.n_classes < 1:
             raise ValueError("n_classes must be >= 1")
+        if self.hyperprior_weight < 0.0:
+            raise ValueError("hyperprior_weight must be >= 0")
+        if self.hyperprior_centers is not None:
+            c = tuple(float(v) for v in self.hyperprior_centers)
+            if len(c) != 7:
+                raise ValueError(
+                    "hyperprior_centers must have 7 entries: (y_ls, y_lam, "
+                    "y_sn, x_ls, x_lam, x_sn, x_lin) in log space"
+                )
+            # frozen dataclass: keep the config hashable (JSON round trips
+            # deliver a list)
+            object.__setattr__(self, "hyperprior_centers", c)
 
     @property
     def dyn_input_dim(self) -> int:

@@ -160,6 +160,65 @@ def y_neg_log_likelihood(params: GPMDMParams, Y: jax.Array, cfg: GPMDMConfig) ->
     return cfg.D / 2.0 * logdet + 0.5 * trace_term - N * log_det_W
 
 
+def x_block_terms_deflated(
+    Xin_b: jax.Array,
+    Xout_b: jax.Array,
+    mask: jax.Array | None,
+    x_log_lengthscales: jax.Array,
+    x_log_sigma_n: jax.Array,
+    x_log_lin_coeff: jax.Array,
+    w2: jax.Array,
+    sigma_n_num: float = 0.0,
+):
+    """(logdet, quad) of one dynamics class block with the LINEAR kernel
+    term deflated out of the Cholesky.
+
+    The dynamics Gram is ``K = K0 + V V^T`` with ``K0 = RBF + noise I``
+    (condition bounded by ~N/sigma_n^2 regardless of training drift) and
+    ``V = [Xin, 1] diag(exp(x_log_lin_coeff))`` the rank-(din+1) linear
+    kernel factor — the term whose growth drives the block's condition to
+    the f32 cliff (measured: trained c8n5120 blocks reach cond 6.6e6 with
+    diag 12-115x the RBF's unit scale, and the TPU blocked f32 Cholesky
+    NaNs there while the equivalent K0 factorization stays at cond ~2e4;
+    docs/BENCHMARKS.md round-4 "f32 NaN cliff mechanism").
+
+    So factor ONLY K0 and fold the low-rank term in exactly:
+
+      ``logdet K = logdet K0 + logdet(I + V^T K0^-1 V)``   (det lemma)
+      ``quad_j  = ||L0^-1 y_j||^2 - ||Lc^-1 A^T (L0^-1 y_j)||^2``
+      with ``A = L0^-1 V``, ``Lc = chol(I + A^T A)``       (Woodbury)
+
+    Mathematically identical to the direct factorization (tested to f64
+    round-off) at the same O(n^2 (r + dout)) extra cost over the shared
+    O(n^3/3) Cholesky — but every factorized matrix is f32-safe.
+
+    ``mask`` (n,) marks valid rows (1.0) vs zero-padding; padded rows get
+    identity K0 rows (logdet contribution 0) and zeroed V/Xout rows.
+    """
+    n = Xin_b.shape[0]
+    K0 = K.rbf_kernel(
+        Xin_b, Xin_b, x_log_lengthscales, x_log_sigma_n, sigma_n_num,
+        with_noise=True,
+    )
+    lin_w = jnp.exp(x_log_lin_coeff)
+    ones = jnp.ones((n, 1), dtype=Xin_b.dtype)
+    V = jnp.concatenate([Xin_b, ones], axis=1) * lin_w
+    if mask is not None:
+        mm = mask[:, None] * mask[None, :]
+        K0 = K0 * mm + jnp.diag(1.0 - mask)
+        V = V * mask[:, None]
+    L0 = LA.chol_lower(K0)
+    A = LA.tri_solve(L0, V)  # (n, r)
+    B = LA.tri_solve(L0, Xout_b)  # (n, dout)
+    r = V.shape[1]
+    Cap = jnp.eye(r, dtype=K0.dtype) + jnp.matmul(A.T, A, precision=_PREC)
+    Lc = jnp.linalg.cholesky(Cap)  # r x r, diag >= 1: no jitter needed
+    G = LA.tri_solve(Lc, jnp.matmul(A.T, B, precision=_PREC))
+    logdet = LA.chol_logdet(L0) + LA.chol_logdet(Lc)
+    quad = jnp.sum((jnp.sum(B * B, axis=0) - jnp.sum(G * G, axis=0)) * w2)
+    return logdet, quad
+
+
 def x_neg_log_likelihood(
     params: GPMDMParams, cfg: GPMDMConfig, layout: DataLayout
 ) -> jax.Array:
@@ -170,6 +229,9 @@ def x_neg_log_likelihood(
 
     ``K_x * M`` is block diagonal in the class-major layout, so both the
     log-determinant and the trace decompose over dense class blocks.
+    Each block's linear-kernel term is deflated out of the factorization
+    by default (:func:`x_block_terms_deflated`; ``cfg.deflate_x_linear=
+    False`` restores the direct Cholesky of the full block).
     """
     Xin, Xout = xin_xout(params.X, layout, cfg.dyn_target)
     w2 = jnp.exp(params.x_log_lambdas) ** 2
@@ -179,18 +241,26 @@ def x_neg_log_likelihood(
         lo, hi = int(layout.x_class_offsets[c]), int(layout.x_class_offsets[c + 1])
         Xin_c = Xin[lo:hi]
         Xout_c = Xout[lo:hi]
-        Kc = K.x_kernel(
-            Xin_c,
-            Xin_c,
-            params.x_log_lengthscales,
-            params.x_log_sigma_n,
-            params.x_log_lin_coeff,
-            cfg.sigma_n_num_X,
-            with_noise=True,
-        )
-        Lc = LA.chol_lower(Kc)
-        total_logdet = total_logdet + LA.chol_logdet(Lc)
-        total_trace = total_trace + LA.quad_trace(Lc, Xout_c, w2)
+        if cfg.deflate_x_linear:
+            ld, tr = x_block_terms_deflated(
+                Xin_c, Xout_c, None,
+                params.x_log_lengthscales, params.x_log_sigma_n,
+                params.x_log_lin_coeff, w2, cfg.sigma_n_num_X,
+            )
+        else:
+            Kc = K.x_kernel(
+                Xin_c,
+                Xin_c,
+                params.x_log_lengthscales,
+                params.x_log_sigma_n,
+                params.x_log_lin_coeff,
+                cfg.sigma_n_num_X,
+                with_noise=True,
+            )
+            Lc = LA.chol_lower(Kc)
+            ld, tr = LA.chol_logdet(Lc), LA.quad_trace(Lc, Xout_c, w2)
+        total_logdet = total_logdet + ld
+        total_trace = total_trace + tr
     log_det_W = 2.0 * jnp.sum(params.x_log_lambdas)
     return cfg.d / 2.0 * total_logdet + 0.5 * total_trace - layout.Nx * log_det_W
 
@@ -231,6 +301,13 @@ def x_nll_padded_blocks(
         Xout_c = Xout_c - x_t
 
     def block_terms(Xin_b, Xout_b, m):
+        w2 = jnp.exp(params.x_log_lambdas) ** 2
+        if cfg.deflate_x_linear:
+            return x_block_terms_deflated(
+                Xin_b, Xout_b, m,
+                params.x_log_lengthscales, params.x_log_sigma_n,
+                params.x_log_lin_coeff, w2, cfg.sigma_n_num_X,
+            )
         Kb = K.x_kernel(
             Xin_b,
             Xin_b,
@@ -243,11 +320,42 @@ def x_nll_padded_blocks(
         mm = m[:, None] * m[None, :]
         Kb = Kb * mm + jnp.diag(1.0 - m)  # identity padding: exact
         Lb = LA.chol_lower(Kb)
-        w2 = jnp.exp(params.x_log_lambdas) ** 2
         return LA.chol_logdet(Lb), LA.quad_trace(Lb, Xout_b, w2)
 
     logdets, traces = jax.vmap(block_terms)(Xin_c, Xout_c, mask)
     return cfg.d / 2.0 * logdets + 0.5 * traces
+
+
+def hyperprior_penalty(params, cfg: GPMDMConfig) -> jax.Array | float:
+    """Gaussian log-hyperprior term ``w * sum((log_h - center)^2)``.
+
+    The reference MAP objective has no hyperprior (gpdm_loss,
+    gpmdm.py:721-760) — with ``cfg.hyperprior_weight == 0`` (default) this
+    is a trace-time 0.0 and the loss is bit-identical to before.  With
+    w > 0 it is a log-normal prior on every kernel hyperparameter,
+    centered at the ctor init values: the regularizer that keeps the
+    large-Ny MAP trajectory out of the measured degeneracies (sigma_n
+    sharpening, x_lin_coeff explosion) AND inside the f32 Cholesky
+    condition budget (docs/BENCHMARKS.md "Four training findings").
+    The latent matrix X is NOT penalized.
+
+    Works for any params family carrying the 7 log-hyper fields
+    (GPMDMParams, sparse.SparseParams — inducing inputs unpenalized).
+    """
+    w = cfg.hyperprior_weight
+    if w == 0.0:
+        return 0.0
+    c = cfg.hyperprior_centers or cfg._HYPERPRIOR_DEFAULT_CENTERS
+    groups = (
+        (params.y_log_lengthscales, c[0]),
+        (params.y_log_lambdas, c[1]),
+        (params.y_log_sigma_n, c[2]),
+        (params.x_log_lengthscales, c[3]),
+        (params.x_log_lambdas, c[4]),
+        (params.x_log_sigma_n, c[5]),
+        (params.x_log_lin_coeff, c[6]),
+    )
+    return w * sum(jnp.sum((g - ci) ** 2) for g, ci in groups)
 
 
 def nll(
@@ -258,7 +366,8 @@ def nll(
     balance: float = 1.0,
 ) -> jax.Array:
     """Total MAP loss L = L_y + balance * L_x (reference gpdm_loss,
-    gpmdm.py:721-760).
+    gpmdm.py:721-760), plus the optional log-hyperprior
+    (:func:`hyperprior_penalty`, zero at the default config).
 
     Note: the reference's ``balance`` is silently always 1 due to an argument
     binding bug (its ``train_adam`` passes balance into the unused ``M``
@@ -266,7 +375,11 @@ def nll(
     that behavior.
     """
     b = balance if cfg.balance_fix else 1.0
-    return y_neg_log_likelihood(params, Y, cfg) + b * x_neg_log_likelihood(params, cfg, layout)
+    return (
+        y_neg_log_likelihood(params, Y, cfg)
+        + b * x_neg_log_likelihood(params, cfg, layout)
+        + hyperprior_penalty(params, cfg)
+    )
 
 
 # ---------------------------------------------------------------------------

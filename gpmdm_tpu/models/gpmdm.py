@@ -70,7 +70,21 @@ class GPMDM:
         sigma_n_num_X: float = 0.0,
         dtype: str = "float32",
         balance_fix: bool = True,
+        hyperprior_weight: float = 0.0,
     ):
+        # Log-space hyperprior centers = the init values (scalar per
+        # group; array inits contribute their log-mean).  Computed
+        # unconditionally so flipping hyperprior_weight on later (e.g.
+        # via config.replace) keeps the intended centers.
+        def _logc(v):
+            return float(np.mean(np.log(np.asarray(v, dtype=np.float64))))
+
+        hyperprior_centers = (
+            _logc(y_lengthscales_init), _logc(y_lambdas_init),
+            _logc(y_sigma_n_init), _logc(x_lengthscales_init),
+            _logc(x_lambdas_init), _logc(x_sigma_n_init),
+            _logc(x_lin_coeff_init),
+        )
         self.config = GPMDMConfig(
             D=D,
             d=d,
@@ -88,6 +102,8 @@ class GPMDM:
             flg_train_x_lin_coeff=flg_train_x_lin_coeff,
             dtype=dtype,
             balance_fix=balance_fix,
+            hyperprior_weight=hyperprior_weight,
+            hyperprior_centers=hyperprior_centers,
         )
         self._init_hypers = dict(
             y_lambdas_init=np.asarray(y_lambdas_init, dtype=np.float64),
@@ -108,6 +124,10 @@ class GPMDM:
         self.posterior = None
         self._opt_state = None
         self._training_mode = "all"
+        # Guard-arbitrated deployment recommendation (docs/DEPLOY.md):
+        # set by `deploy --sparsify` / tools/eval_asset_guard.py --bake,
+        # persisted in checkpoints, honored by resolve_posterior('auto').
+        self._deploy_recommendation = None
 
     #: Deployment-family marker for resolve_posterior('auto'): True when
     #: the model's own posterior is an exact ``core.Posterior`` (so the
@@ -265,6 +285,9 @@ class GPMDM:
         self._require_init()
         self._compressed_cache = {}
         self._sparsified_cache = {}
+        # a posterior refresh (retraining) invalidates any guard verdict
+        # measured on the previous parameters
+        self._deploy_recommendation = None
         if lazy:
             self._posterior = None
             self._posterior_pending = True

@@ -49,6 +49,7 @@ from ..ops import linalg as LA
 
 from ..config import GPMDMConfig
 from ..ops import kernels as K
+from . import core
 from ..ops.layout import DataLayout, padded_class_indices
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -200,10 +201,15 @@ def sparse_nll(
     layout: DataLayout,
     balance: float = 1.0,
 ) -> jax.Array:
-    """Total sparse MAP objective L_y + balance * L_x."""
+    """Total sparse MAP objective L_y + balance * L_x, plus the optional
+    log-hyperprior (core.hyperprior_penalty, zero at the default config)."""
     pads = _pads_jnp(layout, Y.dtype)
     b = balance if cfg.balance_fix else 1.0
-    return y_sparse_nll(params, Y, cfg) + b * x_sparse_nll(params, cfg, pads)
+    return (
+        y_sparse_nll(params, Y, cfg)
+        + b * x_sparse_nll(params, cfg, pads)
+        + core.hyperprior_penalty(params, cfg)
+    )
 
 
 def _pads_jnp(layout: DataLayout, dtype) -> dict:

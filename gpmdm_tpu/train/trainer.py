@@ -165,9 +165,15 @@ def make_update_step(
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        # NaN guard: if loss is NaN keep the previous parameters (reference
-        # breaks the loop at gpmdm.py:868-870).
-        ok = jnp.isfinite(loss)
+        # NaN guard: if the loss OR any gradient is non-finite keep the
+        # previous parameters (reference breaks the loop at
+        # gpmdm.py:868-870, which only sees the loss).  The grad check
+        # matters: a finite loss with NaN grads (a Cholesky that
+        # succeeded forward but whose adjoint overflowed in f32) would
+        # otherwise write NaN into the params PERMANENTLY — the frozen
+        # state the round-3 diagnosis calls the "degenerate checkpoint
+        # class".
+        ok = _finite_step(loss, grads)
         new_params = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_params, params
         )
@@ -177,6 +183,12 @@ def make_update_step(
         return (new_params, new_opt_state, Y), loss
 
     return step
+
+
+def _finite_step(loss, grads):
+    """True iff the loss and every gradient leaf are finite."""
+    leaves_ok = [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+    return jnp.isfinite(loss) & jnp.stack(leaves_ok).all()
 
 
 def make_lbfgs_step(
@@ -218,8 +230,8 @@ def make_lbfgs_step(
         )
         new_params = optax.apply_updates(params, updates)
         # NaN freeze, same contract as the Adam step: a non-finite loss
-        # leaves parameters and optimizer state untouched.
-        ok = jnp.isfinite(loss)
+        # or gradient leaves parameters and optimizer state untouched.
+        ok = _finite_step(loss, grads)
         new_params = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_params, params
         )
@@ -255,12 +267,28 @@ def train_adam(
     structured record per chunk: loss and steps/sec — the SURVEY §5
     first-class training metrics.
     """
+    # lr is ignored by L-BFGS (linesearch picks the step): canonicalize it
+    # out of the compile-cache key so `--optimizer lbfgs --lr X` sweeps
+    # reuse one compiled scan instead of recompiling per lr (ADVICE r3).
+    lr = 0.0 if train_cfg.optimizer == "lbfgs" else train_cfg.lr
     optimizer, run_chunk = _get_run_chunk(
-        cfg, layout, train_cfg.lr, train_cfg.balance, mode, kind,
+        cfg, layout, lr, train_cfg.balance, mode, kind,
         train_cfg.optimizer, train_cfg.lbfgs_memory,
     )
     if opt_state is None:
         opt_state = optimizer.init(params)
+    else:
+        # A caller-supplied state from the WRONG optimizer family (e.g. an
+        # adam state resumed into optimizer='lbfgs') would otherwise
+        # surface as an opaque scan/pytree structure error (ADVICE r3).
+        expected = jax.tree.structure(optimizer.init(params))
+        got = jax.tree.structure(opt_state)
+        if got != expected:
+            raise ValueError(
+                f"opt_state structure does not match optimizer "
+                f"'{train_cfg.optimizer}' — it was probably produced by a "
+                "different optimizer; pass opt_state=None to start fresh"
+            )
 
     chunk = train_cfg.print_every if train_cfg.print_every > 0 else train_cfg.num_steps
     if train_cfg.checkpoint_every > 0:

@@ -138,6 +138,18 @@ def save_model(model, file_path) -> None:
     if sp_keys:
         meta["sparsified_keys"] = sp_keys
         meta["sparsified_entry_idx"] = sp_idx
+    # Guard-arbitrated deployment recommendation (docs/DEPLOY.md): written
+    # by `deploy --sparsify` / tools/eval_asset_guard.py --bake after a
+    # measured accuracy verdict; resolve_posterior('auto') honors it ahead
+    # of the size thresholds.
+    rec = getattr(model, "_deploy_recommendation", None)
+    if rec:
+        meta["deploy_recommendation"] = {
+            k: (float(v) if isinstance(v, (np.floating, float))
+                else int(v) if isinstance(v, (np.integer,))
+                else v)
+            for k, v in rec.items()
+        }
     # Sparse posteriors are small (O(M^2 + M D) factors) but cost an
     # O(N M^2) host precompute — persist them so load skips it (~16 s at
     # Ny=108k, M=128).  Exact core.Posterior is NOT persisted: its
@@ -263,6 +275,10 @@ def load_model(cls, file_path):
                 ]
                 model._opt_state = jax.tree.unflatten(treedef, leaves)
                 model._opt_name = opt_name
+                # keep the re-saved meta consistent with the restored
+                # state's buffer shapes on a load->retrain->save cycle
+                # (ADVICE r3)
+                model._lbfgs_memory = meta.get("lbfgs_memory", 10)
             if meta.get("model_class") == "BCGPMDM":
                 model._materialize()  # X <- K_b @ W, then precompute
             elif meta.get("posterior_class") == "SparsePosterior":
@@ -324,6 +340,10 @@ def load_model(cls, file_path):
                         )
                     cache[tuple(key)] = built[j]
                 model._sparsified_cache = cache
+            # restore AFTER the precompute (which clears stale verdicts):
+            # the recommendation was guard-measured on these exact params
+            if meta.get("deploy_recommendation"):
+                model._deploy_recommendation = meta["deploy_recommendation"]
     return model
 
 

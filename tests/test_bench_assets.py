@@ -33,25 +33,33 @@ def _asset(name: str) -> str:
 
 
 def test_c8n5120_deploys_from_baked_cache_without_host_builds(monkeypatch):
-    """The large-N exact-family asset must deploy 'auto' (= compressed)
-    from the persisted cache: no exact O(N^3) precompute, no fresh
-    eigendecomposition."""
+    """The large-N exact-family asset must deploy 'auto' from persisted
+    state: no exact O(N^3) precompute, no fresh eigendecomposition, no
+    re-distillation.  This asset carries a guard-baked sparsified
+    recommendation (M=384 kmeans, TPU guard 1.0 — round-3 bake), so 'auto'
+    must return those persisted factors, not the threshold-policy
+    compressed posterior."""
+    from gpmdm_tpu.models import sparse as sparse_mod
+
     m = GPMDM.load(_asset("bench_model_c8n5120.npz"))
-    # the load itself must be lazy: exact posterior deferred, cache baked
+    # the load itself must be lazy: exact posterior deferred, caches baked
     assert m._posterior is None
     assert getattr(m, "_posterior_pending", False)
     assert getattr(m, "_compressed_cache", None), "baked compressed cache missing"
+    rec = getattr(m, "_deploy_recommendation", None)
+    assert rec and rec["family"] == "sparsified" and rec["M"] == 384
 
     def _boom(*a, **k):  # pragma: no cover - fires only on regression
-        raise AssertionError("O(N^3) host build ran during deployment")
+        raise AssertionError("O(N^3)/host build ran during deployment")
 
     monkeypatch.setattr(core_mod, "precompute_host", _boom)
     monkeypatch.setattr(compressed_mod, "compress_host", _boom)
+    monkeypatch.setattr(sparse_mod, "distill_host", _boom)
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # expected flat-spectrum advisory
+        warnings.simplefilter("ignore")
         post = pf.resolve_posterior(m, "auto")
-    assert type(post).__name__ == "CompressedPosterior"
-    assert post.rank_y <= m.layout.Ny // 2  # inside FLOP parity, deployable
+    assert type(post).__name__ == "SparsePosterior"
+    assert post.Zy.shape[0] == 384
     assert m._posterior is None  # exact build still deferred
 
 

@@ -250,3 +250,44 @@ def test_precompute_host_matches_jitted():
             np.asarray(getattr(jitted, f)),
             rtol=1e-6, atol=1e-7, err_msg=f,
         )
+
+
+@pytest.mark.parametrize("target,back_step", [("full", 1), ("full", 2)])
+def test_x_nll_deflated_equals_direct(rng, target, back_step):
+    """The linear-kernel-deflated dynamics NLL (the f32-safe default,
+    core.x_block_terms_deflated) must equal the direct full-block
+    factorization to f64 round-off — the determinant lemma / Woodbury
+    fold-in is exact math, not an approximation."""
+    cfg, layout, params, Y = make_model(rng, target=target, back_step=back_step)
+    got = float(core.x_neg_log_likelihood(params, cfg, layout))
+    cfg_direct = cfg.replace(deflate_x_linear=False)
+    want = float(core.x_neg_log_likelihood(params, cfg_direct, layout))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_x_nll_padded_deflated_equals_direct(rng):
+    """Padded-block (sharded-trainer) dynamics terms: deflated == direct,
+    and the zero-padding stays exact (identity rows contribute nothing)."""
+    from gpmdm_tpu.ops.layout import padded_class_indices
+
+    cfg, layout, params, Y = make_model(rng, n_classes=3)
+    pads = padded_class_indices(layout)
+    args = (
+        params, cfg,
+        jnp.asarray(pads["idx_in"]), jnp.asarray(pads["idx_prev"]),
+        jnp.asarray(pads["idx_out"]),
+        jnp.asarray(pads["mask"], dtype=jnp.float64),
+    )
+    got = np.asarray(core.x_nll_padded_blocks(*args))
+    want = np.asarray(
+        core.x_nll_padded_blocks(args[0], cfg.replace(deflate_x_linear=False),
+                                 *args[2:])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    # and the padded form equals the unpadded loop (both deflated)
+    per_class = got.sum()
+    dense = float(core.x_neg_log_likelihood(params, cfg, layout))
+    log_det_W = 2.0 * float(np.sum(np.asarray(params.x_log_lambdas)))
+    np.testing.assert_allclose(
+        per_class - layout.Nx * log_det_W, dense, rtol=1e-9
+    )

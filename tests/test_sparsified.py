@@ -254,3 +254,45 @@ def test_cli_eval_sparsify(trained, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "sparsified posterior: M_y=96" in out
+
+
+def test_deploy_recommendation_wins_over_thresholds(trained, tmp_path):
+    """A guard-baked deployment recommendation beats the size-threshold
+    'auto' policy (round-4 VERDICT #2): this model's Ny is below
+    AUTO_COMPRESS_N, where the threshold path deploys EXACT — with a baked
+    sparsified recommendation, resolve_posterior('auto') must return the
+    persisted distilled factors instead, through a save/load round trip,
+    without forcing the lazy exact build, and a posterior refresh must
+    invalidate the verdict."""
+    from gpmdm_tpu import GPMDM_PF
+    from gpmdm_tpu.filter.particle_filter import (
+        AUTO_COMPRESS_N,
+        resolve_posterior,
+    )
+
+    m, _, _ = trained
+    assert m.layout.Ny <= AUTO_COMPRESS_N  # threshold path would say exact
+    sp = m.sparsified_posterior(64, method="kmeans")
+    m._deploy_recommendation = {
+        "family": "sparsified", "M": 64, "method": "kmeans",
+        "guard_frame_acc": 0.99,
+    }
+    try:
+        path = tmp_path / "rec.npz"
+        m.save(path)
+    finally:
+        m._deploy_recommendation = None  # module-scoped fixture: keep clean
+    m2 = GPMDM.load(path)
+    post = resolve_posterior(m2, "auto")
+    assert isinstance(post, sparse.SparsePosterior)
+    assert post.Zy.shape[0] == 64
+    assert getattr(m2, "_posterior_pending", False)  # exact build deferred
+    np.testing.assert_array_equal(np.asarray(post.Zy), np.asarray(sp.Zy))
+    # the GPMDM_PF default ('auto') deploys the recommendation too
+    pf = GPMDM_PF(m2, [[0.9, 0.1], [0.1, 0.9]], num_particles=50)
+    assert isinstance(pf._post, sparse.SparsePosterior)
+    # a posterior refresh (retraining) clears the stale verdict: 'auto'
+    # falls back to the size-threshold policy (exact at this Ny)
+    m2._precompute_kernel_inverses()
+    assert m2._deploy_recommendation is None
+    assert isinstance(resolve_posterior(m2, "auto"), core.Posterior)

@@ -157,3 +157,144 @@ def test_lbfgs_opt_state_roundtrips_through_checkpoint(tmp_path):
     # resumed training from the loaded state stays finite and keeps falling
     losses = m2.train_lbfgs(num_opt_steps=3)
     assert np.isfinite(losses[-1])
+
+
+def test_hyperprior_zero_is_exact_noop():
+    """hyperprior_weight=0 (default) must leave the loss bit-identical to
+    the reference MAP objective — the penalty is a trace-time 0.0."""
+    m0 = small_model()
+    m1 = small_model(hyperprior_weight=0.0)
+    assert m0.config.hyperprior_weight == 0.0
+    assert float(m0.gpdm_loss()) == float(m1.gpdm_loss())
+    assert core.hyperprior_penalty(m0.params, m0.config) == 0.0
+
+
+def test_hyperprior_penalty_closed_form():
+    m = small_model(hyperprior_weight=2.5, y_sigma_n_init=0.1,
+                    x_sigma_n_init=0.1)
+    p, cfg = m.params, m.config
+    c = cfg.hyperprior_centers
+    want = 2.5 * (
+        np.sum((np.asarray(p.y_log_lengthscales) - c[0]) ** 2)
+        + np.sum((np.asarray(p.y_log_lambdas) - c[1]) ** 2)
+        + (float(p.y_log_sigma_n) - c[2]) ** 2
+        + np.sum((np.asarray(p.x_log_lengthscales) - c[3]) ** 2)
+        + np.sum((np.asarray(p.x_log_lambdas) - c[4]) ** 2)
+        + (float(p.x_log_sigma_n) - c[5]) ** 2
+        + np.sum((np.asarray(p.x_log_lin_coeff) - c[6]) ** 2)
+    )
+    got = float(core.hyperprior_penalty(p, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # at init the params sit exactly at the centers -> penalty 0
+    assert got == pytest.approx(0.0, abs=1e-9)
+    # and the total loss equals the unregularized loss at init
+    m0 = small_model(y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    np.testing.assert_allclose(float(m.gpdm_loss()), float(m0.gpdm_loss()),
+                               rtol=1e-12)
+
+
+def test_hyperprior_bounds_drift():
+    """A strong hyperprior must keep every log-hyper near its init while
+    training still reduces the loss (X remains free)."""
+    m = small_model(hyperprior_weight=1e4, y_sigma_n_init=0.1,
+                    x_sigma_n_init=0.1)
+    l0 = m.gpdm_loss()
+    m.train_adam(num_opt_steps=40, lr=0.02)
+    assert m.gpdm_loss() < l0
+    c = m.config.hyperprior_centers
+    p = m.params
+    for val, ci in [
+        (p.y_log_lengthscales, c[0]), (p.y_log_lambdas, c[1]),
+        (p.y_log_sigma_n, c[2]), (p.x_log_lengthscales, c[3]),
+        (p.x_log_lambdas, c[4]), (p.x_log_sigma_n, c[5]),
+        (p.x_log_lin_coeff, c[6]),
+    ]:
+        assert np.max(np.abs(np.asarray(val) - ci)) < 0.15
+    # the weak-prior run must drift further than the strong-prior run
+    mw = small_model(hyperprior_weight=0.0, y_sigma_n_init=0.1,
+                     x_sigma_n_init=0.1)
+    mw.train_adam(num_opt_steps=40, lr=0.02)
+    drift_strong = abs(float(m.params.y_log_sigma_n) - c[2])
+    drift_weak = abs(float(mw.params.y_log_sigma_n) - c[2])
+    assert drift_strong < drift_weak
+
+
+def test_hyperprior_roundtrips_through_checkpoint(tmp_path):
+    m = small_model(hyperprior_weight=3.0, y_sigma_n_init=0.1)
+    path = tmp_path / "hp.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2.config.hyperprior_weight == 3.0
+    assert m2.config.hyperprior_centers == m.config.hyperprior_centers
+    assert isinstance(m2.config.hyperprior_centers, tuple)  # hashable
+    # the restored model trains without a retrace error (config hashable)
+    m2.train_adam(num_opt_steps=2, lr=0.01)
+
+
+def test_hyperprior_sparse_family():
+    from gpmdm_tpu import SparseGPMDM
+
+    train_seqs, train_labels, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=2, n_test_seqs=1, seq_len=30, D=8, seed=3
+    )
+    m = SparseGPMDM(D=8, d=2, n_classes=2, dtype="float64",
+                    n_inducing_y=16, n_inducing_x=16,
+                    hyperprior_weight=1e4, y_sigma_n_init=0.1,
+                    x_sigma_n_init=0.1)
+    for Y, c in zip(train_seqs, train_labels):
+        m.add_data(Y, c)
+    m.init_X()
+    l0 = m.gpdm_loss()
+    m.train_adam(num_opt_steps=30, lr=0.02)
+    assert m.gpdm_loss() < l0
+    # the sparse NLL's gradients are larger than the exact family's at
+    # this size, so the same weight binds more loosely — bound the drift
+    # and check the prior actually bit (vs an unregularized run)
+    c = m.config.hyperprior_centers
+    assert abs(float(m.params.y_log_sigma_n) - c[2]) < 0.4
+    assert abs(float(m.params.x_log_sigma_n) - c[5]) < 0.4
+    m0 = SparseGPMDM(D=8, d=2, n_classes=2, dtype="float64",
+                     n_inducing_y=16, n_inducing_x=16,
+                     y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    for Y, cc in zip(train_seqs, train_labels):
+        m0.add_data(Y, cc)
+    m0.init_X()
+    m0.train_adam(num_opt_steps=30, lr=0.02)
+    drift = abs(float(m.params.y_log_sigma_n) - c[2])
+    drift0 = abs(float(m0.params.y_log_sigma_n) - c[2])
+    assert drift < drift0
+
+
+def test_grad_nan_guard_freezes_params():
+    """A finite loss with non-finite grads must freeze the step (the
+    loss-only guard would let NaN params through permanently)."""
+    import jax
+
+    from gpmdm_tpu.train import trainer as T
+
+    m = small_model()
+    cfg, layout = m.config, m.layout
+    mask, _ = T._mask_and_loss(cfg, "all", "exact")
+
+    def poisoned_loss(params, Y, cfg, layout, balance):
+        # finite value, NaN gradient: the classic where-NaN leak — the
+        # unselected sqrt(-1) branch contributes 0 * nan to the X grad
+        x = params.X[0, 0]
+        trap = jnp.where(x > 1e30, jnp.sqrt(x - x - 1.0), 0.0)
+        return core.nll(params, Y, cfg, layout, balance) + trap
+
+    import optax
+
+    opt = optax.adam(0.01)
+    step = T.make_update_step(cfg, layout, opt, 1.0, mask,
+                              loss_fn=poisoned_loss)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.dtype(cfg.dtype))
+    state = opt.init(m.params)
+    (new_params, _, _), loss = jax.jit(step)((m.params, state, Y), None)
+    assert np.isfinite(float(loss))  # the loss itself was finite
+    # ... but the X grad is NaN: the guard must have frozen EVERY param
+    for f in ("X", "y_log_sigma_n"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(new_params, f)),
+            np.asarray(getattr(m.params, f)),
+        )

@@ -174,6 +174,15 @@ def main() -> None:
                 # persist ONLY the winner: the sweep's other factors
                 # would otherwise all ride along in the checkpoint
                 m._sparsified_cache = {key: m._sparsified_cache[key]}
+                # guard-arbitrated deployment recommendation: the
+                # checkpoint's 'auto' deployments now resolve to this
+                # measured winner instead of the size thresholds
+                # (resolve_posterior; round-4 VERDICT #2)
+                m._deploy_recommendation = {
+                    "family": "sparsified", "M": int(M),
+                    "method": methods[mi], "guard_frame_acc": float(acc),
+                    "guard_particles": int(args.particles),
+                }
                 m.save(path)
                 print(json.dumps({"file": os.path.basename(path),
                                   "baked": list(key)}), flush=True)

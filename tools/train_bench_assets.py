@@ -108,6 +108,11 @@ def main() -> None:
                          "the trained Gram's condition so f32 TPU training "
                          "survives hyperparameter drift (the NaN-freeze "
                          "cliff is a failed f32 Cholesky)")
+    ap.add_argument("--hyperprior", type=float, default=0.0, metavar="W",
+                    help="log-space Gaussian hyperprior weight (see "
+                         "GPMDMConfig.hyperprior_weight): bounds the MAP "
+                         "hyperparameter drift behind the guard-score "
+                         "non-monotonicity (docs/BENCHMARKS.md round 4)")
     ap.add_argument("--save-at", default=None,
                     help="comma list of step counts; saves "
                          "bench_model_<config>_s<N>.npz at each cut "
@@ -144,6 +149,8 @@ def main() -> None:
             else {}
         )
         jit_kw.update(extra.get("model", {}))
+        if args.hyperprior > 0.0:
+            jit_kw["hyperprior_weight"] = args.hyperprior
         if family == "exact":
             from gpmdm_tpu import GPMDM
 
