@@ -1,6 +1,7 @@
 """Distribution layer: device meshes, sharded training, PF-bank sharding."""
 
 from .dist_chol import chol_rowblock, tri_solve_lower_rowblock, y_nll_dist
+from .inspect import COLLECTIVE_PRIMS, count_collectives, count_collectives_jaxpr
 from .mesh import make_mesh, make_train_mesh, round_up
 from .pf_bank import (
     pf_scan_bank_sharded,
@@ -18,6 +19,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "COLLECTIVE_PRIMS",
+    "count_collectives",
+    "count_collectives_jaxpr",
     "chol_rowblock",
     "tri_solve_lower_rowblock",
     "y_nll_dist",

@@ -293,3 +293,70 @@ def test_bc_sharded_training_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(p_sh.X), np.asarray(res.params.X), rtol=1e-7, atol=1e-9
     )
+
+
+def test_collective_counts_pinned(model):
+    """Static collective budget of the sharded programs (parallel/inspect).
+
+    The pins encode the DESIGN of the distribution layer (SURVEY §5
+    "distributed communication backend"; docs/BENCHMARKS.md "Collective
+    budget"): an extra all-gather/psum appearing in a traced program is a
+    regression even when the virtual-mesh numerics still pass, because on
+    a real slice it turns into ICI traffic per step.  dryrun_multichip
+    asserts the same tables, so the driver catches it too.
+    """
+    import optax
+
+    from gpmdm_tpu.parallel import count_collectives
+    from gpmdm_tpu.parallel import sharded as SH
+
+    m = model
+    opt = optax.adam(0.01)
+    mask = jax.tree.map(jnp.ones_like, m.params)
+    for ep, tp in ((4, 2), (2, 4)):
+        mesh = make_mesh({"ep": ep, "tp": tp})
+        # replicated-Cholesky step: 3 forward psums (y-trace and log|W|
+        # over tp, x-blocks over ep) + their grad transposes and
+        # shard_map replication sums = 11 psums, no gathers, for EVERY
+        # mesh shape.  dist-chol unrolls over the tp block count: the
+        # forward factorization all-gathers one column panel per block
+        # (tp) + 3 backward gathers (Z, Y, alpha); the two distributed
+        # triangular solves psum once per block (2*tp) + 8 fixed psums.
+        want = {
+            False: {"psum": 11},
+            True: {"psum": 2 * tp + 8, "all_gather": tp + 3},
+        }
+        for sc in (False, True):
+            ctx = SH.make_context(m.config, m.layout, mesh, shard_chol=sc)
+            Yp = SH.pad_Y(jnp.asarray(m.get_Y(), dtype=m.dtype), ctx)
+            step = SH.make_sharded_update_step(ctx, opt, 1.0, mask)
+            got = count_collectives(
+                lambda c_, x: step(c_, x),
+                (m.params, opt.init(m.params), Yp),
+                None,
+            )
+            assert got == want[sc], (ep, tp, sc, got)
+
+
+def test_pf_bank_sharded_collective_free(model):
+    """The dp PF bank scan must trace to ZERO collectives — banks are
+    independent by construction; any psum means cross-bank sync."""
+    from gpmdm_tpu.parallel import count_collectives
+
+    m = model
+    dp_mesh = make_mesh({"dp": 8})
+    pfc = PFConfig(num_particles=16)
+    C = m.config.n_classes
+    log_T = jnp.log(jnp.full((C, C), 1.0 / C, dtype=m.dtype))
+    states = pf.pf_init_bank(
+        m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(1), pfc, 8
+    )
+    Z = jnp.zeros((8, 3, m.D), dtype=m.dtype)
+    got = count_collectives(
+        lambda s, z: pf_scan_bank_sharded(
+            s, z, m.posterior, m.params, log_T, m.config, pfc, dp_mesh
+        ),
+        states,
+        Z,
+    )
+    assert got == {}, got
