@@ -265,6 +265,14 @@ class PFConfig:
     quad_precision: str | None = None
     recon_precision: str | None = None
     fuse_mean_quad: str = "auto"
+    # Banked-filter implementation (pf_scan_bank / pf_scan_bank_masked):
+    # 'vmap' wraps the single-filter scan in jax.vmap (round-3 shipping
+    # path; measured ~35%/bank-frame tax at 12x10k from batched-einsum
+    # glue); 'flat' runs ONE P = B*Pb filter whose GP einsums carry no
+    # bank axis at all, with normalization/resampling/readouts blocked
+    # per bank (round-4 VERDICT #4).  'auto' picks the measured winner
+    # (see _resolve_bank_impl; docs/BENCHMARKS.md "bank tax closed").
+    bank_impl: str = "auto"
 
     def __post_init__(self):
         if self.resampling not in ("systematic", "multinomial"):
@@ -285,6 +293,8 @@ class PFConfig:
             raise ValueError("pallas must be 'auto', 'on' or 'off'")
         if self.fuse_mean_quad not in ("auto", "on", "off"):
             raise ValueError("fuse_mean_quad must be 'auto', 'on' or 'off'")
+        if self.bank_impl not in ("auto", "vmap", "flat"):
+            raise ValueError("bank_impl must be 'auto', 'vmap' or 'flat'")
         if not (0.0 < self.resample_threshold <= 1.0):
             raise ValueError("resample_threshold must be in (0, 1]")
         if self.resample_threshold < 1.0 and not self.accumulate_weights:

@@ -916,6 +916,10 @@ def pf_scan_bank(
     # and measured SLOWER than in-scan RNG at every bank size (v5e:
     # 64x1k banks 20.2k vs 18.7k agg fps; 12x10k banks 0.47 vs 0.54
     # ms/bank-frame) — the VPU threefry overlaps the MXU matmuls anyway.
+    if _resolve_bank_impl(pf_cfg, post) == "flat":
+        return _pf_scan_bank_flat(
+            states, Z, None, post, params, log_T, cfg, pf_cfg
+        )
     pf_cfg = _bank_pf_cfg(pf_cfg)
     return jax.vmap(
         lambda s, z: pf_scan(s, z, post, params, log_T, cfg, pf_cfg,
@@ -940,6 +944,10 @@ def pf_scan_bank_masked(
     reference's per-trial Python loop (test_gpmdm_pf.ipynb cell 4) with
     one compiled call."""
     # pregen=False: see pf_scan_bank
+    if _resolve_bank_impl(pf_cfg, post) == "flat":
+        return _pf_scan_bank_flat(
+            states, Z, valid, post, params, log_T, cfg, pf_cfg
+        )
     pf_cfg = _bank_pf_cfg(pf_cfg)
     return jax.vmap(
         lambda s, z, v: pf_scan_masked(s, z, v, post, params, log_T, cfg,
@@ -957,6 +965,232 @@ def pf_init_bank(
     """Initialize a bank of B independent filters (leading bank axis)."""
     keys = jax.random.split(key, n_banks)
     return jax.vmap(lambda k: pf_init(post, y_class_offsets, k, pf_cfg))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Flat-bank formulation (round-4 VERDICT #4: the banked-vmap tax)
+# ---------------------------------------------------------------------------
+
+
+def _pf_step_flatbank(
+    states: PFState,
+    z_bank: jax.Array,
+    post,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """One banked PF update as ONE flat P = B*Pb filter.
+
+    The vmap bank (``jax.vmap(pf_step)``) pays a measured ~35% per-bank-
+    frame tax at 12x10k banks: the GP posterior einsums gain a bank batch
+    axis and XLA lowers them as B smaller matmuls with worse MXU tiling
+    (docs/BENCHMARKS.md "bank tax").  Here the GP stages (dynamics
+    predict, observation weighting — all the FLOPs) run on the flattened
+    (B*Pb, d) particle set exactly as a single filter would, and only the
+    cheap O(P) glue is bank-blocked: weight normalization, readouts, and
+    resampling via per-bank systematic indices + ONE flat offset gather
+    (the `_packed_gather_vmap` trick, applied directly).
+
+    Per-bank RNG chains are preserved (each bank splits its own key
+    exactly like ``pf_step`` with ``noise=None``), so draws match the
+    vmap path bit-for-bit; outputs agree to matmul-reassociation noise
+    (tests/test_pf.py pins them within one particle's weight).
+
+    ``states`` leaves keep the banked (B, Pb, ...) layout of
+    ``pf_init_bank`` — reshapes to/from flat are free bitcasts.
+    """
+    B, Pb = states.x.shape[0], states.x.shape[1]
+    P = B * Pb
+    d = states.x.shape[2]
+    predict_y, predict_x_all_classes = _predictors(post)
+
+    # per-bank RNG chain, bit-identical to pf_step's sequential splits
+    keys4 = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)  # (B,4,2)
+    key, k_trans, k_dyn, k_res = (keys4[:, i] for i in range(4))
+
+    # 1. Markov class transition (flat: the per-particle math has no bank
+    #    coupling at all)
+    C = log_T.shape[0]
+    cum_T = jnp.cumsum(jnp.exp(log_T), axis=1)  # (C, C)
+    c_prev = states.c.reshape(P)
+    onehot_c = jax.nn.one_hot(c_prev, C, dtype=cum_T.dtype)  # (P, C)
+    row_cum = jnp.matmul(onehot_c, cum_T, precision=_PREC)  # (P, C)
+    u_trans = jax.vmap(
+        lambda k: jax.random.uniform(k, (Pb,), dtype=cum_T.dtype)
+    )(k_trans).reshape(P)
+    c = jnp.sum(u_trans[:, None] >= row_cum, axis=1).astype(jnp.int32)
+    c = jnp.minimum(c, C - 1)
+
+    # 2. Dynamics propagation on the FLAT particle set — the einsums see
+    #    one (P, d) query block, no bank axis (the whole point)
+    x_flat = states.x.reshape(P, d)
+    if cfg.dyn_back_step == 1:
+        xin = x_flat
+    else:
+        xin = jnp.concatenate([x_flat, states.x_prev.reshape(P, d)], axis=1)
+    means, variances = predict_x_all_classes(
+        post, params, xin, cfg, precision=pf_cfg.lax_precision,
+        quad_precision=pf_cfg.lax_quad_precision,
+        recon_precision=pf_cfg.lax_recon_precision,
+        # the flat path IS a single filter to the backends: the vmap
+        # fuse regression does not apply, so 'auto' gates on n_classes
+        # exactly like pf_step
+        fused=pf_cfg.fused_arg,
+    )  # (C, P, d)
+    mean = _select_by_class(means, c)
+    var = jnp.maximum(_select_by_class(variances, c), 1e-12)
+    eps = jax.vmap(
+        lambda k: jax.random.normal(k, (Pb, d), dtype=mean.dtype)
+    )(k_dyn).reshape(P, d)
+    prop = mean + jnp.sqrt(var) * eps
+    x_new = x_flat + prop if cfg.dyn_target == "delta" else prop
+
+    # 3. Observation weighting: flat GP predict, per-bank observation
+    mean_y, var_y = predict_y(
+        post, params, x_new, cfg,
+        with_noise=pf_cfg.obs_noise_in_weights,
+        precision=pf_cfg.lax_precision,
+        quad_precision=pf_cfg.lax_quad_precision,
+        recon_precision=pf_cfg.lax_recon_precision,
+        fused=pf_cfg.fused_arg,
+    )  # (P, D)
+    var_y = jnp.maximum(var_y, 1e-12)
+    D = cfg.D
+    resid = z_bank[:, None, :] - mean_y.reshape(B, Pb, D)  # broadcast, fused
+    quad = jnp.sum(resid**2 / var_y.reshape(B, Pb, D), axis=2).reshape(P)
+    logdet = jnp.sum(jnp.log(var_y), axis=1)
+    logdet_coeff = 1.0 if pf_cfg.compat_double_logdet else 0.5
+    log_lik = -0.5 * quad - logdet_coeff * logdet - 0.5 * D * _LOG_2PI
+    log_lik = jnp.where(jnp.isfinite(log_lik), log_lik, -jnp.inf)
+    if pf_cfg.accumulate_weights:
+        log_w = log_lik + states.log_w.reshape(P)
+    else:
+        log_w = log_lik
+    log_wb = log_w.reshape(B, Pb)
+    lse = jax.scipy.special.logsumexp(log_wb, axis=1, keepdims=True)  # (B,1)
+    log_wb = jnp.where(
+        jnp.isfinite(lse), log_wb - lse,
+        jnp.full_like(log_wb, -jnp.log(float(Pb))),
+    )
+
+    # Readouts, bank-blocked (same pre-resample semantics as pf_step)
+    w = jnp.exp(log_wb)  # (B, Pb)
+    lw = log_lik.reshape(B, Pb) + log_wb
+    lw_max = jnp.max(lw, axis=1, keepdims=True)
+    lw = jnp.where(jnp.isfinite(lw_max), lw - lw_max, jnp.zeros_like(lw))
+    elw = jnp.exp(lw)
+    onehot = jax.nn.one_hot(c, C, dtype=w.dtype).reshape(B, Pb, C)
+    class_scores = jnp.einsum("bp,bpc->bc", elw, onehot)
+    class_probs = class_scores / jnp.sum(class_scores, axis=1, keepdims=True)
+    log_likelihood = jnp.sum(elw, axis=1)  # (B,)
+    x_safe = jnp.where(jnp.isfinite(x_new), x_new, 0.0).reshape(B, Pb, d)
+    state_mean = jnp.sum(x_safe * w[:, :, None], axis=1)  # (B, d)
+    outputs = PFOutputs(
+        class_probs=class_probs,
+        log_likelihood=log_likelihood,
+        state_mean=state_mean,
+        most_likely_class=jnp.argmax(class_probs, axis=1).astype(jnp.int32),
+    )
+
+    # 4. Resampling: per-bank indices (the rank computation is O(Pb) glue,
+    #    vmapped), ONE flat offset gather for the payload
+    packed = jnp.concatenate(
+        [x_new, x_flat, c.astype(x_new.dtype)[:, None]], axis=1
+    )  # (P, 2d+1)
+    uniform_log_wb = jnp.full((B, Pb), -jnp.log(float(Pb)), dtype=log_wb.dtype)
+    if pf_cfg.resampling == "systematic":
+        idx_b = jax.vmap(systematic_resample_indices)(k_res, log_wb)
+        sorted_hint = True  # per-bank monotone + increasing offsets
+    else:
+        idx_b = jax.vmap(multinomial_resample_indices)(k_res, log_wb)
+        sorted_hint = False
+    flat_idx = (
+        idx_b + (jnp.arange(B, dtype=idx_b.dtype) * Pb)[:, None]
+    ).reshape(P)
+    if sorted_hint:
+        packed_r = packed.at[flat_idx].get(
+            indices_are_sorted=True, mode="promise_in_bounds"
+        )
+    else:
+        packed_r = packed[flat_idx]
+    if pf_cfg.resample_threshold >= 1.0:
+        new_log_wb = uniform_log_wb
+    else:
+        # per-bank select (matches the vmap path exactly: vmapped
+        # lax.cond evaluates both branches and selects)
+        ess = 1.0 / jnp.maximum(jnp.sum(w * w, axis=1), 1e-38)  # (B,)
+        do = ess < pf_cfg.resample_threshold * Pb
+        packed_r = jnp.where(
+            do.repeat(Pb)[:, None], packed_r, packed
+        )
+        new_log_wb = jnp.where(do[:, None], uniform_log_wb, log_wb)
+    new_state = PFState(
+        x=packed_r[:, :d].reshape(B, Pb, d),
+        x_prev=packed_r[:, d : 2 * d].reshape(B, Pb, d),
+        c=packed_r[:, 2 * d].astype(jnp.int32).reshape(B, Pb),
+        log_w=new_log_wb,
+        log_lik=log_lik.reshape(B, Pb),
+        key=key,
+    )
+    return new_state, outputs
+
+
+def _pf_scan_bank_flat(
+    states: PFState,
+    Z: jax.Array,
+    valid: jax.Array | None,
+    post,
+    params: core.GPMDMParams,
+    log_T: jax.Array,
+    cfg: GPMDMConfig,
+    pf_cfg: PFConfig,
+) -> tuple[PFState, PFOutputs]:
+    """Flat-bank scan over (B, T, D) observations (masked when ``valid``
+    is given).  Emits the same (B, T, ...) output layout as the vmap
+    path — one transpose of the small readout arrays at the end."""
+
+    def step(s, inp):
+        if valid is None:
+            z = inp
+            return _pf_step_flatbank(s, z, post, params, log_T, cfg, pf_cfg)
+        z, v = inp
+        s2, out = _pf_step_flatbank(s, z, post, params, log_T, cfg, pf_cfg)
+        s_new = jax.tree.map(
+            lambda a, b: jnp.where(
+                v.reshape((v.shape[0],) + (1,) * (a.ndim - 1)), a, b
+            ),
+            s2,
+            s,
+        )
+        return s_new, out
+
+    Zt = jnp.swapaxes(Z, 0, 1)  # (T, B, D)
+    xs = Zt if valid is None else (Zt, jnp.swapaxes(valid, 0, 1))
+    final, outs = jax.lax.scan(step, states, xs)
+    outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)  # (B, T, ...)
+    return final, outs
+
+
+def _resolve_bank_impl(pf_cfg: PFConfig, post) -> str:
+    """'auto' bank-impl policy.  The vmap path remains the default until
+    the flat formulation's TPU A/B lands (this gate flips on the measured
+    verdict — docs/BENCHMARKS.md "bank tax"); 'flat' is always available
+    explicitly.  The opt-in Pallas kernels (single observation vector,
+    exact posterior only) stay on vmap in any case."""
+    if pf_cfg.bank_impl != "auto":
+        if (
+            pf_cfg.bank_impl == "flat"
+            and pf_cfg.pallas == "on"
+            and isinstance(post, core.Posterior)
+        ):
+            raise ValueError(
+                "bank_impl='flat' is incompatible with pallas='on' (the "
+                "fused kernels take a single observation vector)"
+            )
+        return pf_cfg.bank_impl
+    return "vmap"
 
 
 @functools.lru_cache(maxsize=32)
