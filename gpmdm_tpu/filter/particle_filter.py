@@ -248,7 +248,36 @@ def observation_log_lik(
 _RANK_TILE_K = 128
 
 
-def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
+#: Particle count at or above which the weight cumsum inside
+#: ``systematic_resample_indices`` runs as the two-level MXU form
+#: (``_blocked_cumsum``) instead of ``jnp.cumsum``: at extreme P the
+#: single-lane cumsum is multi-pass VPU glue (round-4 VERDICT #3 stage
+#: attribution), while two tiny triangular matmuls + a K-length cumsum
+#: do the same adds on the MXU.  Below this the lowering difference is
+#: noise; keeping small-P on jnp.cumsum preserves the f64 golden streams.
+_BLOCKED_CUMSUM_MIN_P = 32_768
+
+
+def _blocked_cumsum(w: jax.Array) -> jax.Array:
+    """Inclusive cumsum of a (P,) vector as a two-level blocked form:
+    within-block inclusive sums via a (k, k) upper-triangular 0/1 matmul
+    on the MXU (f32 accumulate at HIGHEST precision — same adds as the
+    lane cumsum, reassociated), plus an exclusive cumsum of the K block
+    totals.  Exact up to f32 reassociation."""
+    P = w.shape[0]
+    k = _RANK_TILE_K
+    K = -(-P // k)
+    Wb = jnp.pad(w, (0, K * k - P)).reshape(K, k)
+    U = jnp.triu(jnp.ones((k, k), dtype=w.dtype))
+    within = jax.lax.dot(Wb, U, precision=_PREC)  # (K, k) inclusive
+    totals = within[:, -1]
+    offs = jnp.cumsum(totals) - totals  # (K,) exclusive block offsets
+    return (within + offs[:, None]).reshape(K * k)[:P]
+
+
+def systematic_resample_indices(
+    key: jax.Array, log_w: jax.Array, w: jax.Array | None = None
+) -> jax.Array:
     """Systematic (low-variance) resampling: one uniform draw, equally
     spaced positions, one sorted-vs-sorted rank computation.  TPU-friendly
     replacement for per-frame multinomial resampling (reference
@@ -286,8 +315,24 @@ def systematic_resample_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
     # f32/f64 streams bit-identical to before (golden e2e pins them); the
     # 0/1 matmul below already runs bf16/f32, so this costs nothing.
     ct = jnp.promote_types(log_w.dtype, jnp.float32)
-    w = jax.nn.softmax(log_w.astype(ct))
-    cum = jnp.cumsum(w)
+    if w is None:
+        w = jax.nn.softmax(log_w.astype(ct))
+    else:
+        # caller-supplied normalized weights (pf_step already computes
+        # exp(log_w - lse) for its readouts): skips a redundant
+        # max+exp+sum+divide over P lanes per frame (round-4 VERDICT #3).
+        # Sum may be 1 +- a few ulps instead of softmax's exact renorm —
+        # the rank computation below clips s into [0, P], so a trailing
+        # half-step of drift cannot push an index out of range.
+        w = w.astype(ct)
+    # the cumsum over P lanes is multi-pass VPU glue at extreme P; at
+    # P >= _BLOCKED_CUMSUM_MIN_P do the same adds as two tiny MXU
+    # triangular matmuls + a K-length cumsum (reassociated, f32-exact
+    # scale: weights are <= 1 and counts << 2^24)
+    if P >= _BLOCKED_CUMSUM_MIN_P:
+        cum = _blocked_cumsum(w)
+    else:
+        cum = jnp.cumsum(w)
     u = jax.random.uniform(key, (), dtype=ct)
     s = jnp.clip(jnp.floor(P * cum - u).astype(jnp.int32) + 1, 0, P)
     K = -(-P // k)
@@ -766,9 +811,11 @@ def pf_step(
     uniform_log_w = jnp.full((P,), -jnp.log(float(P)), dtype=log_w.dtype)
 
     def do_resample(operand):
-        packed, log_w, k = operand
+        packed, log_w, w, k = operand
         if pf_cfg.resampling == "systematic":
-            idx = systematic_resample_indices(k, log_w)
+            # pass the readout-stage normalized weights: drops the
+            # resampler's redundant per-frame softmax (VERDICT #3)
+            idx = systematic_resample_indices(k, log_w, w=w)
             # systematic indices are monotone: the sorted-gather hints
             # measured -15% at P=100k (see _packed_gather_sorted)
             return _packed_gather_sorted(packed, idx), uniform_log_w
@@ -776,14 +823,14 @@ def pf_step(
         return _packed_gather(packed, idx), uniform_log_w
 
     if pf_cfg.resample_threshold >= 1.0:
-        packed_r, new_log_w = do_resample((packed, log_w, k_res))
+        packed_r, new_log_w = do_resample((packed, log_w, w, k_res))
     else:
         ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-38)
         packed_r, new_log_w = jax.lax.cond(
             ess < pf_cfg.resample_threshold * P,
             do_resample,
             lambda operand: (operand[0], operand[1]),
-            (packed, log_w, k_res),
+            (packed, log_w, w, k_res),
         )
     new_state = PFState(
         x=packed_r[:, :d],
@@ -1101,7 +1148,9 @@ def _pf_step_flatbank(
     )  # (P, 2d+1)
     uniform_log_wb = jnp.full((B, Pb), -jnp.log(float(Pb)), dtype=log_wb.dtype)
     if pf_cfg.resampling == "systematic":
-        idx_b = jax.vmap(systematic_resample_indices)(k_res, log_wb)
+        idx_b = jax.vmap(
+            lambda k, lw, ww: systematic_resample_indices(k, lw, w=ww)
+        )(k_res, log_wb, w)
         sorted_hint = True  # per-bank monotone + increasing offsets
     else:
         idx_b = jax.vmap(multinomial_resample_indices)(k_res, log_wb)
