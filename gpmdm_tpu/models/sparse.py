@@ -106,13 +106,40 @@ def _kuu_jitter(dtype) -> float:
     return _KUU_JITTER.get(jnp.dtype(dtype), 1e-4)
 
 
+def _lb_via_qr(A: jax.Array) -> jax.Array:
+    """``chol(I + A A^T)`` computed WITHOUT ever forming ``I + A A^T``:
+    the R factor of the tall QR of ``[A^T; I]`` satisfies
+    ``R^T R = A A^T + I``, so ``LB = R^T`` (diagonal sign-fixed positive).
+
+    Why (round-4 hourlong diagnosis, docs/BENCHMARKS.md "sparse-family
+    f32 cliff"): at Ny ~ 54k rows/class and trained sigma_n ~ 0.04, the
+    capacitance ``B = I + A A^T`` reaches condition ~3.4e7.  B >= I means
+    every exact Cholesky pivot is >= 1, but f32 pivots carry absolute
+    error ~ eps * ||B|| ~ 2 — the factorization is a coin flip that came
+    up NaN inside the compiled train step (the plain forward of the same
+    math at the same params stayed finite: fusion context decides).
+    The stacked QR's error scales with ||[A^T; I]|| = sqrt(||B||):
+    ~7e-4 against pivots of 1, safe at ANY training drift.  Same
+    O(N M^2) asymptotic cost as forming A A^T."""
+    M = A.shape[0]
+    stack = jnp.concatenate([A.T, jnp.eye(M, dtype=A.dtype)], axis=0)
+    _, R = jnp.linalg.qr(stack, mode="reduced")  # R: (M, M) upper
+    s = jnp.sign(jnp.diagonal(R))
+    s = jnp.where(s == 0, jnp.ones_like(s), s)
+    return (R * s[:, None]).T  # lower, positive diagonal
+
+
 def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None,
-                sigma_n_num: float = 0.0):
+                sigma_n_num: float = 0.0, qr_b: bool | None = None):
     """Shared VFE pieces for one GP.
 
     Kmm (M, M), Kmn (M, N), knn_diag (N,), Y (N, Dout), w2 (Dout,).
     ``col_mask`` (N,) zeroes padded data columns (class-padding support);
     ``n_valid`` is the true data count N (scalar, may be traced).
+    ``qr_b`` selects the capacitance factorization: the f32-safe stacked
+    QR (:func:`_lb_via_qr`) or the direct ``chol(I + A A^T)``; None
+    (default) = QR for f32 inputs, chol for f64 (where the direct form
+    is exact enough and cheaper).
     Returns (nll, Lm, LB, c) where c = LB^-1 A Y.
     """
     M = Kmm.shape[0]
@@ -123,8 +150,13 @@ def _sgpr_terms(Kmm, Kmn, knn_diag, Y, log_sigma, w2, n_valid, col_mask=None,
         Y = Y * col_mask[:, None]
     Lm = LA.chol_lower(Kmm, jitter=_kuu_jitter(Kmm.dtype))
     A = LA.tri_solve(Lm, Kmn) / jnp.sqrt(sigma2)  # (M, N)
-    B = jnp.eye(M, dtype=Kmm.dtype) + jnp.matmul(A, A.T, precision=_PREC)
-    LB = LA.chol_lower(B)
+    if qr_b is None:
+        qr_b = jnp.dtype(Kmm.dtype) == jnp.dtype("float32")
+    if qr_b:
+        LB = _lb_via_qr(A)
+    else:
+        B = jnp.eye(M, dtype=Kmm.dtype) + jnp.matmul(A, A.T, precision=_PREC)
+        LB = LA.chol_lower(B)
     logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
     AY = jnp.matmul(A, Y, precision=_PREC)  # (M, Dout)
     c = LA.tri_solve(LB, AY)  # (M, Dout)

@@ -351,3 +351,50 @@ def test_vfe_finite_with_duplicate_inducing_points():
     v = float(sparse.sparse_nll(params, jnp.asarray(m.get_Y(), m.dtype),
                                 m.config, m.layout))
     assert np.isfinite(v), v
+
+
+def test_lb_via_qr_equals_chol():
+    """The stacked-QR capacitance factor (f32-safe, round-4 hourlong fix)
+    must equal chol(I + A A^T) exactly in f64 — same matrix, factored
+    through its square root."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu.models import sparse as S
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(24, 300)) * 5.0)
+    LB_qr = np.asarray(S._lb_via_qr(A))
+    B = np.eye(24) + np.asarray(A) @ np.asarray(A).T
+    LB_chol = np.linalg.cholesky(B)
+    np.testing.assert_allclose(LB_qr, LB_chol, rtol=1e-9, atol=1e-10)
+    # lower triangular with positive diagonal
+    assert np.allclose(LB_qr, np.tril(LB_qr))
+    assert np.all(np.diag(LB_qr) > 0)
+
+
+def test_sgpr_terms_qr_matches_chol():
+    """_sgpr_terms(qr_b=True) == _sgpr_terms(qr_b=False) in f64 (nll and
+    every returned factor), so the f32 default changes conditioning, not
+    math."""
+    import jax.numpy as jnp
+
+    from gpmdm_tpu.models import sparse as S
+
+    rng = np.random.default_rng(1)
+    M, N, Dout = 12, 80, 3
+    Z = jnp.asarray(rng.normal(size=(M, 2)))
+    X = jnp.asarray(rng.normal(size=(N, 2)))
+    from gpmdm_tpu.ops import kernels as K
+
+    ls = jnp.zeros(2)
+    Kmm = K.rbf_kernel(Z, Z, ls)
+    Kmn = K.rbf_kernel(Z, X, ls)
+    knn = jnp.ones((N,))
+    Y = jnp.asarray(rng.normal(size=(N, Dout)))
+    w2 = jnp.ones(Dout)
+    outs = [
+        S._sgpr_terms(Kmm, Kmn, knn, Y, jnp.asarray(-1.5), w2, N, qr_b=q)
+        for q in (False, True)
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)

@@ -65,6 +65,16 @@ def _steps_per_sec(run, n_steps):
 
 
 def mode_scaling(args) -> None:
+    """Exact-vs-sparse training throughput, INTERLEAVED protocol.
+
+    Round-3's table measured each arm once in sequence and showed a
+    2.8x run-to-run band at Ny=1024 (tunnel contention lands on whole
+    arms).  Round 4 applies the repo's PF A/B protocol to training:
+    compile + warm every arm first, then time all arms round-robin for
+    --rounds rounds, reporting each arm's BEST round (min wall).  Drift
+    now hits every arm equally and the best-of-rounds estimator discards
+    the contended rounds.
+    """
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -78,39 +88,60 @@ def mode_scaling(args) -> None:
 
     device = str(jax.devices()[0])
     D, d, C = 12, 2, 2
+    arms = []  # (label, Ny, run, model) built for EVERY config first
     for seq_len in args.seq_lens:
         Ny = C * args.seqs * seq_len
 
-        # ---- exact ----
         m = _build(C, args.seqs, seq_len, D, d)
         Y = m.get_Y()
 
-        def run_exact(n):
+        def run_exact(n, m=m, Y=Y):
             r = train_adam(m.params, Y, m.config, m.layout,
                            TrainConfig(num_steps=n, lr=0.01))
             r.losses.block_until_ready()
             return r
 
-        sps = _steps_per_sec(run_exact, args.steps)
-        print(json.dumps({"model": "exact", "Ny": Ny, "steps_per_sec":
-                          round(sps, 3), "device": device}), flush=True)
-
-        # ---- sparse at each M ----
+        arms.append({"label": "exact", "Ny": Ny, "run": run_exact, "m": m})
         for M in args.inducing:
             ms = _build(C, args.seqs, seq_len, D, d, sparse_m=M)
             Ys = ms.get_Y()
 
-            def run_sparse(n):
+            def run_sparse(n, ms=ms, Ys=Ys):
                 r = train_adam(ms.params, Ys, ms.config, ms.layout,
                                TrainConfig(num_steps=n, lr=0.01),
                                kind="sparse")
                 r.losses.block_until_ready()
                 return r
 
-            sps_s = _steps_per_sec(run_sparse, args.steps)
-            # VFE gap at the trained parameters: sparse bound vs the exact
-            # marginal NLL at the same (X, hyperparameters).
-            res = run_sparse(args.steps)
+            arms.append({"label": f"sparse_M{M}", "Ny": Ny,
+                         "run": run_sparse, "m": ms})
+
+    # compile + warm every arm, then interleave timed rounds
+    for arm in arms:
+        arm["run"](args.steps)
+        arm["best"] = np.inf
+        arm["walls"] = []
+    for _ in range(args.rounds):
+        for arm in arms:
+            t0 = time.perf_counter()
+            arm["run"](args.steps)
+            wall = time.perf_counter() - t0
+            arm["walls"].append(wall)
+            arm["best"] = min(arm["best"], wall)
+
+    for arm in arms:
+        rec = {
+            "model": arm["label"], "Ny": arm["Ny"],
+            "steps_per_sec": round(args.steps / arm["best"], 3),
+            "round_spread": round(max(arm["walls"]) / min(arm["walls"]), 3),
+            "device": device,
+        }
+        if arm["label"].startswith("sparse"):
+            # VFE gap at the trained parameters: sparse bound vs the
+            # exact marginal NLL at the same (X, hyperparameters).
+            ms = arm["m"]
+            Ys = ms.get_Y()
+            res = arm["run"](args.steps)
             p = res.params
             vfe = float(sparse.sparse_nll(p, jnp.asarray(Ys, dtype=ms.dtype),
                                           ms.config, ms.layout))
@@ -126,13 +157,12 @@ def mode_scaling(args) -> None:
             )
             ex = float(core.nll(exact_params, jnp.asarray(Ys, dtype=ms.dtype),
                                 ms.config, ms.layout))
-            print(json.dumps({
-                "model": f"sparse_M{M}", "Ny": Ny,
-                "steps_per_sec": round(sps_s, 3),
-                "vfe_nll": round(vfe, 1), "exact_nll_at_params": round(ex, 1),
-                "vfe_gap_rel": round((vfe - ex) / abs(ex), 6),
-                "device": device,
-            }), flush=True)
+            rec.update(
+                vfe_nll=round(vfe, 1),
+                exact_nll_at_params=round(ex, 1),
+                vfe_gap_rel=round((vfe - ex) / abs(ex), 6),
+            )
+        print(json.dumps(rec), flush=True)
 
 
 def mode_sharded(args) -> None:
@@ -195,6 +225,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["scaling", "sharded"], required=True)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="interleaved timing rounds per arm (best wins)")
     ap.add_argument("--seq-lens", type=int, nargs="+",
                     default=[256, 512, 1024])  # Ny = 2*2*seq_len
     ap.add_argument("--seqs", type=int, default=2)

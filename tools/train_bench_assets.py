@@ -113,6 +113,11 @@ def main() -> None:
                          "GPMDMConfig.hyperprior_weight): bounds the MAP "
                          "hyperparameter drift behind the guard-score "
                          "non-monotonicity (docs/BENCHMARKS.md round 4)")
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"],
+                    help="lbfgs = linesearch second-order steps (use ~5-10x "
+                         "fewer --steps); cuts save as "
+                         "bench_model_<config>_lbfgs_sN.npz so the guard "
+                         "can compare optimizers on the same config")
     ap.add_argument("--save-at", default=None,
                     help="comma list of step counts; saves "
                          "bench_model_<config>_s<N>.npz at each cut "
@@ -199,6 +204,7 @@ def main() -> None:
         m32._precompute_kernel_inverses()
         m32.save(path)
 
+    suffix = "" if args.optimizer == "adam" else f"_{args.optimizer}"
     if args.save_at:
         cuts = sorted(int(s) for s in args.save_at.split(","))
         losses, done = [], 0
@@ -206,11 +212,13 @@ def main() -> None:
             seg = m.train_adam(
                 num_opt_steps=cut - done,
                 num_print_steps=max((cut - done) // 2, 1), lr=args.lr,
+                optimizer=args.optimizer,
             )
             losses.extend(np.asarray(seg).tolist())
             done = cut
             save_model(os.path.join(
-                REPO, "bench_assets", f"bench_model_{args.config}_s{cut}.npz"
+                REPO, "bench_assets",
+                f"bench_model_{args.config}{suffix}_s{cut}.npz"
             ))
             print(f"[{args.config}] saved s{cut} (loss {losses[-1]:.4e})",
                   flush=True)
@@ -219,9 +227,11 @@ def main() -> None:
         steps = done
     else:
         losses = m.train_adam(
-            num_opt_steps=steps, num_print_steps=max(steps // 5, 1), lr=args.lr
+            num_opt_steps=steps, num_print_steps=max(steps // 5, 1),
+            lr=args.lr, optimizer=args.optimizer,
         )
-    out = os.path.join(REPO, "bench_assets", f"bench_model_{args.config}.npz")
+    out = os.path.join(REPO, "bench_assets",
+                       f"bench_model_{args.config}{suffix}.npz")
     if not np.isfinite(losses[-1]):
         # NaN-freeze: the frozen params are the measured-degenerate
         # checkpoint class (docstring) — never let them overwrite the
