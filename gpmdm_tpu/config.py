@@ -94,6 +94,17 @@ class GPMDMConfig:
     # x_lin), set by the GPMDM ctor from the *_init args; None defaults
     # to log(1)=0 for all but sigma_n (log 1e-2, the ctor default).
     hyperprior_centers: Tuple[float, ...] | None = None
+    # Optional PER-GROUP weights (same 7-group order as the centers),
+    # overriding the uniform ``hyperprior_weight`` where set.  Rationale
+    # (docs/BENCHMARKS.md round-4 hyperprior sweep): the NLL gradient on
+    # sigma_n is ~100x the lengthscale/lambda gradients at the large-Ny
+    # configs, so one uniform weight either fails to bind the sigma_n
+    # sharpening (the measured filter-starving drift) or freezes every
+    # other hyperparameter.  A large sigma_n-group weight is the SOFT,
+    # still-differentiable version of the reference-era flg_train_*
+    # freeze — and like any MAP prior it legitimately scales with the
+    # dataset size.  None = uniform hyperprior_weight everywhere.
+    hyperprior_weights: Tuple[float, ...] | None = None
     # Factor the dynamics loss Gram as chol(RBF + noise) + exact
     # rank-(din+1) fold-in of the linear kernel (core.x_block_terms_
     # deflated) instead of chol(RBF + linear + noise).  Mathematically
@@ -125,6 +136,14 @@ class GPMDMConfig:
             # frozen dataclass: keep the config hashable (JSON round trips
             # deliver a list)
             object.__setattr__(self, "hyperprior_centers", c)
+        if self.hyperprior_weights is not None:
+            w = tuple(float(v) for v in self.hyperprior_weights)
+            if len(w) != 7 or any(v < 0.0 for v in w):
+                raise ValueError(
+                    "hyperprior_weights must have 7 non-negative entries: "
+                    "(y_ls, y_lam, y_sn, x_ls, x_lam, x_sn, x_lin)"
+                )
+            object.__setattr__(self, "hyperprior_weights", w)
 
     @property
     def dyn_input_dim(self) -> int:

@@ -341,21 +341,33 @@ def hyperprior_penalty(params, cfg: GPMDMConfig) -> jax.Array | float:
 
     Works for any params family carrying the 7 log-hyper fields
     (GPMDMParams, sparse.SparseParams — inducing inputs unpenalized).
+
+    ``cfg.hyperprior_weights`` (7 per-group weights, same order as the
+    centers) overrides the uniform weight where given: the measured NLL
+    gradient on sigma_n is ~100x the lengthscale/lambda gradients at
+    large Ny, so binding the filter-starving sigma_n drift without
+    freezing adaptation elsewhere needs a sigma_n-heavy prior
+    (docs/BENCHMARKS.md round-4 sweep).
     """
-    w = cfg.hyperprior_weight
-    if w == 0.0:
+    ws = cfg.hyperprior_weights
+    if ws is None:
+        w = cfg.hyperprior_weight
+        if w == 0.0:
+            return 0.0
+        ws = (w,) * 7
+    elif all(v == 0.0 for v in ws):
         return 0.0
     c = cfg.hyperprior_centers or cfg._HYPERPRIOR_DEFAULT_CENTERS
     groups = (
-        (params.y_log_lengthscales, c[0]),
-        (params.y_log_lambdas, c[1]),
-        (params.y_log_sigma_n, c[2]),
-        (params.x_log_lengthscales, c[3]),
-        (params.x_log_lambdas, c[4]),
-        (params.x_log_sigma_n, c[5]),
-        (params.x_log_lin_coeff, c[6]),
+        (params.y_log_lengthscales, c[0], ws[0]),
+        (params.y_log_lambdas, c[1], ws[1]),
+        (params.y_log_sigma_n, c[2], ws[2]),
+        (params.x_log_lengthscales, c[3], ws[3]),
+        (params.x_log_lambdas, c[4], ws[4]),
+        (params.x_log_sigma_n, c[5], ws[5]),
+        (params.x_log_lin_coeff, c[6], ws[6]),
     )
-    return w * sum(jnp.sum((g - ci) ** 2) for g, ci in groups)
+    return sum(wi * jnp.sum((g - ci) ** 2) for g, ci, wi in groups if wi)
 
 
 def nll(

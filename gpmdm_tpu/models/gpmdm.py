@@ -71,6 +71,7 @@ class GPMDM:
         dtype: str = "float32",
         balance_fix: bool = True,
         hyperprior_weight: float = 0.0,
+        hyperprior_weights=None,
     ):
         # Log-space hyperprior centers = the init values (scalar per
         # group; array inits contribute their log-mean).  Computed
@@ -103,6 +104,10 @@ class GPMDM:
             dtype=dtype,
             balance_fix=balance_fix,
             hyperprior_weight=hyperprior_weight,
+            hyperprior_weights=(
+                None if hyperprior_weights is None
+                else tuple(float(v) for v in hyperprior_weights)
+            ),
             hyperprior_centers=hyperprior_centers,
         )
         self._init_hypers = dict(

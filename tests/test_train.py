@@ -298,3 +298,42 @@ def test_grad_nan_guard_freezes_params():
             np.asarray(getattr(new_params, f)),
             np.asarray(getattr(m.params, f)),
         )
+
+
+def test_hyperprior_per_group_weights():
+    """Per-group weights must bind only their groups: a sigma_n-heavy
+    prior pins sigma_n hard while lengthscales stay as free as the
+    uniform-weight run (round-4 drift mechanism)."""
+    kw = dict(y_sigma_n_init=0.1, x_sigma_n_init=0.1)
+    m = small_model(hyperprior_weights=(0.0,) * 2 + (1e5,) + (0.0,) * 2 + (1e5,) + (0.0,), **kw)
+    m0 = small_model(**kw)
+    l0 = m.gpdm_loss()
+    m.train_adam(num_opt_steps=40, lr=0.02)
+    m0.train_adam(num_opt_steps=40, lr=0.02)
+    assert m.gpdm_loss() < l0
+    c = m.config.hyperprior_centers
+    # sigma_n pinned hard
+    assert abs(float(m.params.y_log_sigma_n) - c[2]) < 0.02
+    assert abs(float(m.params.x_log_sigma_n) - c[5]) < 0.02
+    # lengthscales move like the unregularized run (zero weight group)
+    drift = float(np.max(np.abs(np.asarray(m.params.y_log_lengthscales) - c[0])))
+    drift0 = float(np.max(np.abs(np.asarray(m0.params.y_log_lengthscales) - c[0])))
+    assert drift > 0.25 * drift0  # not frozen by the sigma prior
+    # closed form: penalty counts only the weighted groups
+    pen = float(core.hyperprior_penalty(m.params, m.config))
+    want = 1e5 * (
+        (float(m.params.y_log_sigma_n) - c[2]) ** 2
+        + (float(m.params.x_log_sigma_n) - c[5]) ** 2
+    )
+    np.testing.assert_allclose(pen, want, rtol=1e-6)
+
+
+def test_hyperprior_weights_roundtrip(tmp_path):
+    m = small_model(hyperprior_weights=(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0),
+                    y_sigma_n_init=0.1)
+    path = tmp_path / "hpw.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2.config.hyperprior_weights == m.config.hyperprior_weights
+    assert isinstance(m2.config.hyperprior_weights, tuple)
+    m2.train_adam(num_opt_steps=2, lr=0.01)

@@ -60,9 +60,10 @@ CONFIGS = {
     # flg_train_x_lin_coeff=False: at this density the MAP optimum drives
     # the dynamics linear coefficients to 3-18 (healthy models: 0.4-2.5),
     # exploding particles off-manifold so the filter scores near chance
-    # (measured: the fully-converged f64 model classifies at 0.19).  The
-    # freeze fixes deployment; the f32 Cholesky NaN cliff persists either
-    # way, so this config trains --f64-cpu (docs/BENCHMARKS.md).
+    # (measured: the fully-converged f64 model classifies at 0.19).
+    # Round 4: the f32 TPU NaN cliff is FIXED (deflated x-NLL,
+    # core.x_block_terms_deflated) — this trains on the chip in f32
+    # end-to-end; --f64-cpu is no longer needed (docs/BENCHMARKS.md).
     "c8n5120": ("exact", 8, 80, 120,
                 {"C": 8, "D": 10, "d": 3,
                  "model": {"flg_train_x_lin_coeff": False},
@@ -79,18 +80,30 @@ CONFIGS = {
                             "flg_train_x_sigma_n": False},
                   "data": {"center_spread": 3.0, "class_signature": 1.0,
                            "seed": 21}}),
+    # c8n5120 with NOTHING frozen: pair with --hyperprior W — the round-4
+    # recipe where the log-space prior (not flag freezes) bounds the MAP
+    # drift; all kernel hyperparameters stay trainable
+    "c8n5120h": ("exact", 8, 80, 120,
+                 {"C": 8, "D": 10, "d": 3,
+                  "data": {"center_spread": 3.0, "class_signature": 1.0,
+                           "seed": 21}}),
     # BASELINE config 4 at its literal scale: "hour-long sequences" —
     # 2 classes x 2 sequences x 27,000 frames = 108k training frames
     # (an hour at 30 fps), trainable only by the sparse family
     "hourlong": ("sparse", 2, 27_000, 200, {"m_y": 128, "m_x": 128}),
-    # hourlong variant with frozen noise scales: the trained-noise run
-    # NaN-froze at ~step 180 and deployed best at s140 (0.933); the
-    # likelihood-sharpening drift behind both observations is the
-    # trainable sigma_n (see the c8n5120f note above)
+    # hourlong variant with frozen noise scales: round-3's trained-noise
+    # run NaN-froze at ~step 180 and deployed best at s140 (0.933).
+    # Round 4: the freeze itself is FIXED (QR capacitance,
+    # sparse._lb_via_qr) — hourlong trains 200/200 f32 on-chip; the
+    # REMAINING reason for this variant is the sigma_n quality drift
+    # (guard 0.68 -> 0.46 over the cuts), addressed without freezes by
+    # --hyperprior on the 'h' configs below
     "hourlongf": ("sparse", 2, 27_000, 200,
                   {"m_y": 128, "m_x": 128,
                    "model": {"flg_train_y_sigma_n": False,
                              "flg_train_x_sigma_n": False}}),
+    # hourlong, nothing frozen: pair with --hyperprior W (see c8n5120h)
+    "hourlongh": ("sparse", 2, 27_000, 200, {"m_y": 128, "m_x": 128}),
 }
 
 
@@ -113,6 +126,15 @@ def main() -> None:
                          "GPMDMConfig.hyperprior_weight): bounds the MAP "
                          "hyperparameter drift behind the guard-score "
                          "non-monotonicity (docs/BENCHMARKS.md round 4)")
+    ap.add_argument("--hyperprior-sigma", type=float, default=None,
+                    metavar="WS",
+                    help="per-group override: hyperprior weight on the two "
+                         "sigma_n groups (the filter-starving drift needs "
+                         "~100x the uniform weight — round-4 sweep)")
+    ap.add_argument("--hyperprior-lin", type=float, default=None,
+                    metavar="WL",
+                    help="per-group override: hyperprior weight on "
+                         "x_lin_coeff")
     ap.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"],
                     help="lbfgs = linesearch second-order steps (use ~5-10x "
                          "fewer --steps); cuts save as "
@@ -156,6 +178,11 @@ def main() -> None:
         jit_kw.update(extra.get("model", {}))
         if args.hyperprior > 0.0:
             jit_kw["hyperprior_weight"] = args.hyperprior
+        if args.hyperprior_sigma is not None or args.hyperprior_lin is not None:
+            w = args.hyperprior
+            ws = args.hyperprior_sigma if args.hyperprior_sigma is not None else w
+            wl = args.hyperprior_lin if args.hyperprior_lin is not None else w
+            jit_kw["hyperprior_weights"] = (w, w, ws, w, w, ws, wl)
         if family == "exact":
             from gpmdm_tpu import GPMDM
 
