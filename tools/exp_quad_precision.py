@@ -36,6 +36,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
     ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--sparsify", type=int, default=None, metavar="M",
+                    help="measure the DISTILLED (SGPR M-inducing, kmeans) "
+                         "backend instead of exact: quad_precision there "
+                         "selects tri-solve (None) vs hoisted-inverse "
+                         "matmuls at the given MXU passes — the (M, M) "
+                         "solves are far better conditioned than the "
+                         "exact quad, so bf16 is a candidate (round-4 "
+                         "VERDICT #8)")
     args = ap.parse_args()
 
     import jax
@@ -67,21 +75,36 @@ def main() -> None:
         n_classes=2, n_train_seqs=4, n_test_seqs=6, seq_len=60, D=D, seed=0
     )
 
-    variants = [
-        ("high/high", dict(precision="high")),
-        # the committed asset scores 1.0 on this guard protocol on CPU
-        # (true f32) vs 0.95 at TPU high/high — if the 6-pass quad
-        # recovers it, the headline accuracy gap is quad bf16x3 error,
-        # not model quality
-        ("high/highest-quad", dict(precision="high", quad_precision="highest")),
-        ("high/bf16-quad", dict(precision="high", quad_precision="default")),
-        ("bf16/bf16", dict(precision="default")),
-        # opt-in fused kernels forced on at the bench shape — measured
-        # slower than XLA (1678 vs 2316 fps) and accuracy-lossy (0.715)
-        # at this asset's near-singular posteriors; kept as the regression
-        # arbitration for the 'on' path (see _use_pallas's docstring)
-        ("pallas-forced", dict(precision="high", pallas="on")),
-    ]
+    if args.sparsify:
+        post = m.sparsified_posterior(args.sparsify, method="kmeans")
+        variants = [
+            ("tri-solve (default)", dict(precision="high")),
+            ("inv-matmul highest", dict(precision="high",
+                                        quad_precision="highest")),
+            ("inv-matmul high", dict(precision="high",
+                                     quad_precision="high")),
+            ("inv-matmul bf16", dict(precision="high",
+                                     quad_precision="default")),
+        ]
+    else:
+        post = m.posterior
+        variants = [
+            ("high/high", dict(precision="high")),
+            # the committed asset scores 1.0 on this guard protocol on CPU
+            # (true f32) vs 0.95 at TPU high/high — if the 6-pass quad
+            # recovers it, the headline accuracy gap is quad bf16x3 error,
+            # not model quality
+            ("high/highest-quad", dict(precision="high",
+                                       quad_precision="highest")),
+            ("high/bf16-quad", dict(precision="high",
+                                    quad_precision="default")),
+            ("bf16/bf16", dict(precision="default")),
+            # opt-in fused kernels forced on at the bench shape — measured
+            # slower than XLA (1678 vs 2316 fps) and accuracy-lossy (0.715)
+            # at this asset's near-singular posteriors; kept as the
+            # regression arbitration for the 'on' path (_use_pallas)
+            ("pallas-forced", dict(precision="high", pallas="on")),
+        ]
     for name, kw in variants:
         pfc = PFConfig(num_particles=args.particles, **kw)
         scan = jax.jit(
@@ -90,14 +113,14 @@ def main() -> None:
             )
         )
         state = pf.pf_init(
-            m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+            post, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
         )
-        _, outs = scan(state, Z, m.posterior, m.params)
+        _, outs = scan(state, Z, post, m.params)
         jax.block_until_ready(outs.class_probs)
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            _, outs = scan(state, Z, m.posterior, m.params)
+            _, outs = scan(state, Z, post, m.params)
             jax.block_until_ready(outs.class_probs)
             best = min(best, time.perf_counter() - t0)
         fps = args.frames / best
@@ -106,7 +129,7 @@ def main() -> None:
         # each MXU precision — the auto policy would swap in compression
         flt = GPMDM_PF(m, [[0.9, 0.1], [0.1, 0.9]],
                        num_particles=args.particles, config=pfc, seed=0,
-                       posterior="exact")
+                       posterior=post if args.sparsify else "exact")
         correct = total = 0
         for Zq, label in zip(q_seqs, q_labels):
             flt.reset()
