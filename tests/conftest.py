@@ -29,6 +29,13 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Exclude XLA:CPU AOT kernel caches from the persisted entries: their
+# feature negotiation treats compile-time prefs (+prefer-no-scatter/
+# -gather) as required host CPU features, so loads warn about a machine
+# mismatch on the SAME machine — and twice segfaulted the full suite
+# inside serialize/deserialize (CLAUDE.md round-4 post-mortem).  The
+# JAX-level executable cache (the actual compile-time saver) remains on.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np
 import pytest
