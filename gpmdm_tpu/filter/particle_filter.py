@@ -515,11 +515,25 @@ def resolve_posterior(gpmdm, posterior="auto"):
                 return gpmdm.posterior
             import warnings
 
-            warnings.warn(
-                f"ignoring unknown deploy recommendation {rec!r}; falling "
-                "back to the size-threshold policy",
-                stacklevel=3,
-            )
+            if fam == "sparsified":
+                # known family, but this model can't honor it (post-hoc
+                # distillation needs the exact-family core posterior) —
+                # almost certainly a checkpoint/model mismatch, say so
+                # instead of the generic unknown-family message.
+                warnings.warn(
+                    "deploy recommendation 'sparsified' requires an "
+                    "exact-family model (GPMDM.sparsified_posterior); "
+                    f"{type(gpmdm).__name__} cannot honor it — check for "
+                    "a checkpoint/model mismatch.  Falling back to the "
+                    "size-threshold policy.",
+                    stacklevel=3,
+                )
+            else:
+                warnings.warn(
+                    f"ignoring unknown deploy recommendation {rec!r}; "
+                    "falling back to the size-threshold policy",
+                    stacklevel=3,
+                )
         # Decide from STATIC model info (family marker + layout.Ny), not
         # from the built posterior: checkpoint loading defers the O(N^3)
         # exact precompute (GPMDM.posterior property), and an 'auto'

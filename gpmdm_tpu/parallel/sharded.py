@@ -48,6 +48,7 @@ from ..models import core
 from ..ops import kernels as K
 from ..ops import linalg as LA
 from ..ops.layout import DataLayout, padded_class_indices
+from ..train.trainer import _mask_grad
 from .mesh import round_up
 
 
@@ -136,7 +137,10 @@ def nll_sharded(
     """Total MAP loss L_y + balance * L_x over the ('ep', 'tp') mesh.
 
     Numerically identical to :func:`gpmdm_tpu.models.core.nll` (same math,
-    different partitioning).  Y_padded must come from :func:`pad_Y`.
+    different partitioning) — including the optional log-hyperprior
+    (:func:`core.hyperprior_penalty`), added on the replicated-parameter
+    side (device-local, no collective).  Y_padded must come from
+    :func:`pad_Y`.
     """
     if ctx.shard_chol:
         return _nll_sharded_chol(params, Y_padded, ctx, balance)
@@ -192,7 +196,9 @@ def nll_sharded(
         ),
         out_specs=P(),
     )
-    return fn(params, Y_padded, lam_pad, idx_in, idx_prev, idx_out, mask)
+    return fn(
+        params, Y_padded, lam_pad, idx_in, idx_prev, idx_out, mask
+    ) + core.hyperprior_penalty(params, cfg)
 
 
 def _nll_sharded_chol(
@@ -275,6 +281,7 @@ def _nll_sharded_chol(
     consts = (
         -float(layout.Ny) * 2.0 * jnp.sum(params.y_log_lambdas)
         - b * float(layout.Nx) * 2.0 * jnp.sum(params.x_log_lambdas)
+        + core.hyperprior_penalty(params, cfg)
     )
     return jnp.sum(shares) + consts
 
@@ -301,7 +308,9 @@ def make_sharded_update_step(
     def step(carry, _):
         params, opt_state, Y_padded = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, Y_padded, ctx, balance)
-        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        # select, don't multiply: NaN grads on frozen leaves must not
+        # poison the update (trainer._mask_grad rationale)
+        grads = jax.tree.map(_mask_grad, grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(loss)

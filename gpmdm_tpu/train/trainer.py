@@ -162,7 +162,7 @@ def make_update_step(
     def step(carry, _):
         params, opt_state, Y = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, Y, cfg, layout, balance)
-        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        grads = jax.tree.map(_mask_grad, grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         # NaN guard: if the loss OR any gradient is non-finite keep the
@@ -185,8 +185,20 @@ def make_update_step(
     return step
 
 
+def _mask_grad(g, m):
+    """Zero gradients on frozen leaves WITHOUT propagating their NaNs.
+
+    ``g * m`` would turn a non-finite gradient on a frozen hyperparameter
+    (e.g. flg_train_x_lin_coeff=False, exactly the config whose lin-coeff
+    gradients blow up) into NaN*0 = NaN, and _finite_step would then veto
+    every update — training silently makes zero progress while reporting
+    finite losses.  Frozen coordinates' gradients are irrelevant by
+    definition, so select rather than multiply."""
+    return jnp.where(m != 0, g, jnp.zeros_like(g))
+
+
 def _finite_step(loss, grads):
-    """True iff the loss and every gradient leaf are finite."""
+    """True iff the loss and every (unfrozen) gradient leaf are finite."""
     leaves_ok = [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
     return jnp.isfinite(loss) & jnp.stack(leaves_ok).all()
 
@@ -224,7 +236,7 @@ def make_lbfgs_step(
             return loss_fn(p, Y, cfg, layout, balance)
 
         loss, grads = jax.value_and_grad(value_fn)(params)
-        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        grads = jax.tree.map(_mask_grad, grads, mask)
         updates, new_opt_state = optimizer.update(
             grads, opt_state, params, value=loss, grad=grads, value_fn=value_fn
         )

@@ -256,6 +256,32 @@ def test_sharded_nll_matches_on_class_aware_mesh(model):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
 
 
+def test_sharded_nll_matches_with_hyperprior(model):
+    """Sharded loss == single-device loss when the log-hyperprior is ON
+    (uniform and per-group weights, both loss variants): a model trained
+    through the sharded trainer must see the SAME regularizer as
+    single-device training (ADVICE r4: the penalty was silently dropped)."""
+    import dataclasses
+
+    m = model
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.float64)
+    for cfg in (
+        dataclasses.replace(m.config, hyperprior_weight=37.0),
+        dataclasses.replace(
+            m.config,
+            hyperprior_weights=(1.0, 2.0, 300.0, 4.0, 5.0, 600.0, 7.0),
+        ),
+    ):
+        want = core.nll(m.params, Y, cfg, m.layout)
+        pen = core.hyperprior_penalty(m.params, cfg)
+        assert float(pen) > 0.0  # the term must actually bind
+        for shard_chol in (False, True):
+            mesh = make_train_mesh(8)  # ('ep', 'tp') = (2, 4); Ny=120 % 4 == 0
+            ctx = make_context(cfg, m.layout, mesh, shard_chol=shard_chol)
+            got = nll_sharded(m.params, pad_Y(Y, ctx), ctx)
+            np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
 def test_bc_sharded_training_matches_single_device():
     """The back-constrained family trains on the mesh via the latent_map
     hook (X = K_b @ W inside the sharded loss): losses match the

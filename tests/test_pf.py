@@ -158,25 +158,69 @@ def test_step_and_scan_agree_above_pregen_gate(trained_model):
     s0 = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(7), pfc)
 
     s = s0
-    step_probs = []
+    step_probs, step_means, step_lls = [], [], []
     for t in range(3):
         s, out = pf.pf_step(s, Z[t], m.posterior, m.params, log_T, m.config, pfc)
         step_probs.append(np.asarray(out.class_probs))
+        step_means.append(np.asarray(out.state_mean))
+        step_lls.append(np.asarray(out.log_likelihood))
 
     _, outs = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
-    # the DRAWS are bit-identical (checked below via the key chain and in
-    # _pregen_noise's construction), but the two compiled programs may
-    # reassociate the f64 resample cumsum differently — a knife-edge
-    # comparison can then flip ONE particle between them (observed on
-    # this host: a 5e-9 absolute / 7e-4 relative shift of a 7e-6 class
-    # prob), so the tolerance is "one particle's weight", not roundoff.
+    # What is pinned BITWISE here is the RNG stream: the key chain (below)
+    # and _pregen_noise == the sequential split chain
+    # (test_pregen_noise_matches_sequential_draws).  The VALUES cannot be
+    # pinned to f64 roundoff: the exact-GP predictive variance is a
+    # catastrophic cancellation (diag - quad with diag ~= quad; var floor
+    # ~4e-7 on this model) and two XLA compilations of the same f64 math
+    # (inside vs outside lax.scan) legitimately reassociate it ~2%
+    # RELATIVE at the floor (measured: tools/../round-5 bisect — x_new
+    # jitters ~3e-5 absolute through sqrt(var)*eps, state_mean ~1e-6,
+    # plus knife-edge resample-index flips worth one particle's weight).
+    # The tolerances below are calibrated to that mechanism and still
+    # catch a wrong stream (which shifts these readouts by O(0.1-1)).
     np.testing.assert_allclose(
         np.asarray(outs.class_probs), np.stack(step_probs),
         rtol=0.0, atol=2.0 / pfc.num_particles,
     )
+    np.testing.assert_allclose(
+        np.asarray(outs.state_mean), np.stack(step_means),
+        rtol=0.0, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs.log_likelihood), np.stack(step_lls),
+        rtol=1e-2, atol=0.0,
+    )
     # the final key must match the sequential chain too
     final_state, _ = pf.pf_scan(s0, Z, m.posterior, m.params, log_T, m.config, pfc)
     np.testing.assert_array_equal(np.asarray(s.key), np.asarray(final_state.key))
+
+
+def test_pregen_noise_matches_sequential_draws():
+    """The hoisted noise (_pregen_noise) is BIT-IDENTICAL to what T
+    sequential pf_step calls draw from the same key — the invariant that
+    lets pf_scan pre-generate randomness outside the scan.  This is the
+    bitwise half of test_step_and_scan_agree_above_pregen_gate (whose
+    value comparisons are tolerance-bound by variance-cancellation
+    reassociation, not by the stream)."""
+    key0 = jax.random.PRNGKey(7)
+    T, P, d = 3, 64, 2
+    dt = jnp.float64
+    noise = pf._pregen_noise(key0, T, P, d, dt, dt)
+    k = key0
+    for t in range(T):
+        # the exact split pf_step performs in-step (noise=None branch)
+        k2, kt, kd, kr = jax.random.split(k, 4)
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(noise.next_key[t]))
+        np.testing.assert_array_equal(np.asarray(kr), np.asarray(noise.k_res[t]))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.uniform(kt, (P,), dtype=dt)),
+            np.asarray(noise.u_trans[t]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.normal(kd, (P, d), dtype=dt)),
+            np.asarray(noise.eps_dyn[t]),
+        )
+        k = k2
 
 
 def test_bank_matches_single(trained_model):

@@ -300,6 +300,44 @@ def test_grad_nan_guard_freezes_params():
         )
 
 
+def test_grad_nan_on_frozen_leaf_does_not_veto_step():
+    """A non-finite gradient on a FROZEN hyperparameter must not freeze
+    training (ADVICE r4: ``g * m`` turned NaN*0 into NaN and the finite
+    guard then vetoed every step — silent zero progress).  Frozen
+    coordinates' gradients are irrelevant by definition: the step must
+    proceed on the trainable leaves."""
+    import jax
+    import optax
+
+    from gpmdm_tpu.train import trainer as T
+
+    m = small_model(flg_train_x_lin_coeff=False)  # the blow-up-prone leaf
+    cfg, layout = m.config, m.layout
+    mask, _ = T._mask_and_loss(cfg, "all", "exact")
+    assert float(np.asarray(mask.x_log_lin_coeff).max()) == 0.0  # frozen
+
+    def poisoned_loss(params, Y, cfg, layout, balance):
+        # finite value, NaN gradient ONLY on the frozen lin-coeff leaf
+        c = params.x_log_lin_coeff.reshape(-1)[0]
+        trap = jnp.where(c > 1e30, jnp.sqrt(c - c - 1.0), 0.0)
+        return core.nll(params, Y, cfg, layout, balance) + trap
+
+    opt = optax.adam(0.01)
+    step = T.make_update_step(cfg, layout, opt, 1.0, mask,
+                              loss_fn=poisoned_loss)
+    Y = jnp.asarray(m.get_Y(), dtype=jnp.dtype(cfg.dtype))
+    state = opt.init(m.params)
+    (new_params, _, _), loss = jax.jit(step)((m.params, state, Y), None)
+    assert np.isfinite(float(loss))
+    # frozen leaf untouched, trainable leaves MOVED (step not vetoed)
+    np.testing.assert_array_equal(
+        np.asarray(new_params.x_log_lin_coeff),
+        np.asarray(m.params.x_log_lin_coeff),
+    )
+    assert not np.array_equal(np.asarray(new_params.X), np.asarray(m.params.X))
+    assert np.isfinite(np.asarray(new_params.X)).all()
+
+
 def test_hyperprior_per_group_weights():
     """Per-group weights must bind only their groups: a sigma_n-heavy
     prior pins sigma_n hard while lengthscales stay as free as the

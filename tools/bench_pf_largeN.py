@@ -38,36 +38,10 @@ import numpy as np  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 P, T_FRAMES, D = 10_000, 500, 35
 
-# config name -> dict [must match tools/train_bench_assets.py so the
-# held-out guard trials are the right distribution].  guard_len overrides
-# the test-trial length (the class-cycle parameters are deterministic in
-# the class index, so shorter guard trials draw from the same
-# distribution — needed for the 27k-frame hour-long config).
-SHAPES = {
-    # headline-scale guard shapes (same protocol the bench guard uses);
-    # the *f names are the frozen-noise retrain sweeps of the committed
-    # bench_model{,_d4,_c8} assets (train_bench_assets.py)
-    "headlinef": dict(family="exact", n_seqs=4, seq_len=60),
-    "d4f": dict(family="exact", n_seqs=4, seq_len=60, d=4),
-    "c8f": dict(family="exact", n_seqs=2, seq_len=60, C=8, D=10,
-                data=dict(center_spread=3.0, class_signature=1.0,
-                          seed=21)),
-    # the committed bench_model_c8.npz (same task/guard protocol as c8f)
-    "c8": dict(family="exact", n_seqs=2, seq_len=60, C=8, D=10,
-               data=dict(center_spread=3.0, class_signature=1.0,
-                         seed=21)),
-    "n2048": dict(family="exact", n_seqs=16, seq_len=64),
-    "n5120": dict(family="exact", n_seqs=32, seq_len=80),
-    "sparse10240": dict(family="sparse", n_seqs=64, seq_len=80),
-    # guard_banks: the 48-trial banked guard's per-class kernel tensor is
-    # (B, C, n_max, P) — ~0.4 GB/bank at this shape; chunk to fit HBM
-    "c8n5120": dict(family="exact", n_seqs=8, seq_len=80, C=8, D=10,
-                    guard_banks=16,
-                    data=dict(center_spread=3.0, class_signature=1.0,
-                              seed=21)),
-    "hourlong": dict(family="sparse", n_seqs=2, seq_len=27_000,
-                     guard_len=600),
-}
+# Guard shapes live in the package (one protocol, three consumers — the
+# CI asset floor imports them too); re-exported here for the sibling
+# tools that do `from bench_pf_largeN import SHAPES`.
+from gpmdm_tpu.utils.asset_guard import SHAPES  # noqa: E402
 
 
 def time_scan(scan, state, Z, post, params, reps=3):

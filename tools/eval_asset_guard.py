@@ -46,13 +46,11 @@ else:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-import numpy as np  # noqa: E402
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    from bench_pf_largeN import SHAPES  # sibling tool: guard protocol source
+    from gpmdm_tpu.utils.asset_guard import SHAPES, guard_score
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, choices=sorted(SHAPES))
@@ -77,15 +75,9 @@ def main() -> None:
     if args.bake and (not args.sparsify_grid or args.bar is None):
         ap.error("--bake requires --sparsify-grid and --bar")
 
-    from gpmdm_tpu import GPMDM, PFConfig, SparseGPMDM
-    from gpmdm_tpu.data import synthetic
-    from gpmdm_tpu.utils.metrics import evaluate_pf_banked
+    from gpmdm_tpu import GPMDM, SparseGPMDM
 
     shape = SHAPES[args.config]
-    C = shape.get("C", 2)
-    Dd = shape.get("D", 35)
-    data_kw = shape.get("data", dict(seed=0))
-    guard_len = shape.get("guard_len", shape["seq_len"])
     files = args.files or sorted(
         glob.glob(
             os.path.join(REPO, "bench_assets",
@@ -94,22 +86,11 @@ def main() -> None:
     ) or [os.path.join(REPO, "bench_assets",
                        f"bench_model_{args.config}.npz")]
 
-    _, _, q_seqs, q_labels = synthetic.make_dataset(
-        n_classes=C, n_train_seqs=1, n_test_seqs=6, seq_len=guard_len,
-        D=Dd, **data_kw,
-    )
-    T_mat = np.full((C, C), 0.1 / (C - 1), dtype=np.float64)
-    np.fill_diagonal(T_mat, 0.9)
-    pfc = PFConfig(num_particles=args.particles)
     cls = GPMDM if shape["family"] == "exact" else SparseGPMDM
 
     def guard(m, posterior=None):
-        rep = evaluate_pf_banked(
-            m, T_mat, [np.asarray(s) for s in q_seqs], q_labels,
-            burn_in=5, seed=0, config=pfc,
-            max_banks=shape.get("guard_banks"), posterior=posterior,
-        )
-        return rep.frame_metrics["accuracy"], rep.frame_metrics["f1"]
+        return guard_score(m, args.config, particles=args.particles,
+                           posterior=posterior)
 
     for path in files:
         m = cls.load(path)
