@@ -98,6 +98,13 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Staleness tripwire: entries WRITTEN during this run are cache MISSES
+    # (a PF-path change invalidated the committed cache and it was not
+    # re-captured — the round-4 compile-wall failure mode).  Counted at
+    # the end into the result JSON as compile_cache.new_entries; anything
+    # nonzero on a driver run means "rerun bench locally and commit the
+    # new bench_assets/jax_cache entries" (CLAUDE.md rule).
+    _cache_entries_before = set(os.listdir(_cache_dir)) if os.path.isdir(_cache_dir) else set()
     import jax.numpy as jnp
 
     from gpmdm_tpu import GPMDM, PFConfig
@@ -558,9 +565,7 @@ def main() -> None:
     bank_sp_acc = rep_bsp.frame_metrics["accuracy"]
     _mark("bank64")
 
-    print(
-        json.dumps(
-            {
+    result = {
                 "metric": "pf_throughput_10k_particles",
                 "value": round(fps, 2),
                 "unit": "frames/s",
@@ -628,8 +633,57 @@ def main() -> None:
                 },
                 "section_s": section_s,
             }
-        )
-    )
+    # Accuracy-regression tripwire (round-4 post-mortem: the broken
+    # hourlong bake was only visible in the driver's OWN json a round
+    # later).  Compare every accuracy field against the newest committed
+    # BENCH_r*.json and surface drops > 0.02 as a loud field — a regressed
+    # section becomes a single grep-able line instead of a diff exercise.
+    try:
+        _now = set(os.listdir(_cache_dir))
+        result["compile_cache"] = {
+            "dir": os.path.basename(os.path.dirname(_cache_dir)) + "/" +
+                   os.path.basename(_cache_dir),
+            "entries": len(_now),
+            "new_entries": len(_now - _cache_entries_before),
+        }
+    except OSError:
+        pass
+    prev = _load_prev_bench()
+    if prev:
+        regressions = {}
+        for k, v in result.items():
+            if v is None or not (k.endswith("_acc") or k.endswith("_f1")):
+                continue
+            pv = prev.get(k)
+            if isinstance(pv, (int, float)) and v < pv - 0.02:
+                regressions[k] = {"now": v, "prev": pv}
+        if regressions:
+            result["accuracy_regressions"] = regressions
+    print(json.dumps(result))
+
+
+def _load_prev_bench():
+    """Newest committed BENCH_r*.json's parsed payload (or None)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        mt = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not mt:
+            continue
+        n = int(mt.group(1))
+        if n > best_n:
+            best, best_n = p, n
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            payload = json.load(f)
+        return payload.get("parsed") or payload
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -103,6 +103,42 @@ def guard_score(
     return rep.frame_metrics["accuracy"], rep.frame_metrics["f1"]
 
 
+def params_fingerprint(params) -> str:
+    """sha256 over the parameter leaves (deterministic field order).
+
+    The fingerprint binds a measured guard score to the EXACT parameters
+    it was measured on: a checkpoint re-bake invalidates the stored
+    receipt unless the guard is re-run (the round-4 hourlong regression
+    shipped because nothing enforced this).
+    """
+    import dataclasses
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in dataclasses.fields(params):
+        leaf = np.asarray(getattr(params, f.name))
+        h.update(f.name.encode())
+        h.update(str(leaf.shape).encode())
+        h.update(np.ascontiguousarray(leaf).tobytes())
+    return h.hexdigest()
+
+
+def make_receipt(model, config_name: str, particles: int,
+                 acc: float, f1: float) -> dict:
+    """Guard receipt dict for ``model._guard_receipt`` (persisted in the
+    checkpoint meta by utils/io.save_model)."""
+    import jax
+
+    return {
+        "platform": jax.devices()[0].platform,
+        "config": config_name,
+        "particles": int(particles),
+        "frame_acc": round(float(acc), 4),
+        "frame_f1": round(float(f1), 4),
+        "params_sha256": params_fingerprint(model.params),
+    }
+
+
 def load_asset(path: str):
     """Load a bench asset with the right model class (meta model_class)."""
     import json

@@ -150,6 +150,13 @@ def save_model(model, file_path) -> None:
                 else v)
             for k, v in rec.items()
         }
+    # Measured-accuracy guard receipt (tools/eval_asset_guard.py --stamp):
+    # binds a banked-guard score to a params fingerprint so CI can refuse
+    # any committed asset whose parameters changed without a re-measured
+    # guard (tests/test_bench_assets.py; round-4 hourlong post-mortem).
+    rcpt = getattr(model, "_guard_receipt", None)
+    if rcpt:
+        meta["guard_receipt"] = rcpt
     # Sparse posteriors are small (O(M^2 + M D) factors) but cost an
     # O(N M^2) host precompute — persist them so load skips it (~16 s at
     # Ny=108k, M=128).  Exact core.Posterior is NOT persisted: its
@@ -344,6 +351,8 @@ def load_model(cls, file_path):
             # the recommendation was guard-measured on these exact params
             if meta.get("deploy_recommendation"):
                 model._deploy_recommendation = meta["deploy_recommendation"]
+            if meta.get("guard_receipt"):
+                model._guard_receipt = meta["guard_receipt"]
     return model
 
 

@@ -32,6 +32,107 @@ def _asset(name: str) -> str:
     return path
 
 
+# ---------------------------------------------------------------- receipts
+#
+# Measured-accuracy receipts (round-5, VERDICT r4 #2): every committed
+# asset carries a guard receipt (tools/eval_asset_guard.py --stamp) —
+# frame accuracy measured through the asset's DEPLOYMENT posterior path,
+# bound to a sha256 of the exact parameters it was measured on.  A
+# re-bake that changes parameters without re-running the measured guard
+# fails CI here (the round-4 hourlong regression shipped exactly that
+# way: params swapped inside an unrelated commit, 233 green tests, TPU
+# bench found 0.4611 a round later).  TPU-required entries pin the
+# backend too: that same broken cut scores 0.9999 on the CPU guard — a
+# CPU floor alone can NOT catch a TPU-only degradation.
+RECEIPT_FLOORS = {
+    # file -> (min receipt frame_acc, required platform or None)
+    "bench_model.npz": (0.90, "tpu"),
+    "bench_model_d4.npz": (0.90, "tpu"),
+    "bench_model_c8.npz": (0.95, "tpu"),
+    "bench_model_c8n5120.npz": (0.97, "tpu"),
+    "bench_model_hourlong.npz": (0.99, "tpu"),
+    "bench_model_hourlongh.npz": (0.80, "tpu"),
+    "bench_model_headlinef.npz": (0.93, None),
+    "bench_model_d4f.npz": (0.78, None),
+    "bench_model_n2048.npz": (0.96, None),
+    "bench_model_n5120.npz": (0.96, None),
+    "bench_model_sparse10240.npz": (0.88, None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(RECEIPT_FLOORS))
+def test_asset_guard_receipt(name):
+    from gpmdm_tpu.utils.asset_guard import load_asset, params_fingerprint
+
+    floor, platform = RECEIPT_FLOORS[name]
+    m = load_asset(_asset(name))
+    rcpt = getattr(m, "_guard_receipt", None)
+    assert rcpt, (
+        f"{name} has no guard receipt: committed assets must be stamped "
+        "with a measured banked-guard score "
+        "(tools/eval_asset_guard.py --stamp [--tpu])"
+    )
+    assert rcpt["params_sha256"] == params_fingerprint(m.params), (
+        f"{name}: parameters changed since the guard receipt was measured "
+        "— re-run tools/eval_asset_guard.py --stamp on the deployment "
+        "backend before committing"
+    )
+    assert rcpt["frame_acc"] >= floor, (
+        f"{name}: receipt frame_acc {rcpt['frame_acc']} below the "
+        f"{floor} floor"
+    )
+    if platform is not None:
+        assert rcpt["platform"] == platform, (
+            f"{name}: receipt measured on {rcpt['platform']!r}; this "
+            f"deployment asset requires a {platform!r}-measured guard "
+            "(round-4: CPU 0.9999 vs TPU 0.4611 on the same cut)"
+        )
+
+
+def test_guard_receipt_roundtrip(tmp_path):
+    """A stamped receipt survives save/load, and the params fingerprint
+    actually detects a parameter change (the whole point)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gpmdm_tpu.data import synthetic
+    from gpmdm_tpu.utils.asset_guard import make_receipt, params_fingerprint
+
+    tr, lb, _, _ = synthetic.make_dataset(
+        n_classes=2, n_train_seqs=1, n_test_seqs=1, seq_len=12, D=6, seed=3
+    )
+    m = GPMDM(D=6, d=2, n_classes=2, dtype="float64")
+    for Y, c in zip(tr, lb):
+        m.add_data(Y, c)
+    m.init_X()
+    m._guard_receipt = make_receipt(m, "headlinef", 500, 0.97, 0.96)
+    path = tmp_path / "r.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    assert m2._guard_receipt == m._guard_receipt
+    assert m2._guard_receipt["params_sha256"] == params_fingerprint(m2.params)
+    # any parameter perturbation invalidates the fingerprint
+    m2.params = dataclasses.replace(
+        m2.params, y_log_sigma_n=m2.params.y_log_sigma_n + 1e-6
+    )
+    assert m2._guard_receipt["params_sha256"] != params_fingerprint(m2.params)
+
+
+def test_asset_live_cpu_guard_floor():
+    """Live banked-guard score (small P, CPU) on the two fastest assets:
+    catches guard-protocol or deployment-path breakage that a stored
+    receipt cannot (receipts only bind params, not code)."""
+    from gpmdm_tpu.utils.asset_guard import guard_score, load_asset
+
+    for name, floor in [("bench_model.npz", 0.95),
+                        ("bench_model_d4.npz", 0.90)]:
+        m = load_asset(_asset(name))
+        acc, _ = guard_score(m, "headlinef" if "d4" not in name else "d4f",
+                             particles=300)
+        assert acc >= floor, f"{name}: live CPU guard {acc} < {floor}"
+
+
 def test_c8n5120_deploys_from_baked_cache_without_host_builds(monkeypatch):
     """The large-N exact-family asset must deploy 'auto' from persisted
     state: no exact O(N^3) precompute, no fresh eigendecomposition, no

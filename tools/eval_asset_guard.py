@@ -71,6 +71,13 @@ def main() -> None:
                     help="re-save the checkpoint with ONLY the winning "
                          "grid point's factors persisted (guard-arbitrated "
                          "deployment selection, docs/DEPLOY.md)")
+    ap.add_argument("--stamp", action="store_true",
+                    help="write the measured score into the checkpoint as "
+                         "a guard receipt (meta guard_receipt: platform, "
+                         "particles, acc/f1, params sha256).  CI "
+                         "(tests/test_bench_assets.py) refuses committed "
+                         "assets whose params changed without a fresh "
+                         "receipt — run with --tpu for deployment assets.")
     args = ap.parse_args()
     if args.bake and (not args.sparsify_grid or args.bar is None):
         ap.error("--bake requires --sparsify-grid and --bar")
@@ -95,18 +102,37 @@ def main() -> None:
     for path in files:
         m = cls.load(path)
         if not args.sparsify_grid:
-            acc, f1 = guard(m)
-            print(
-                json.dumps(
-                    {
-                        "file": os.path.basename(path),
-                        "particles": args.particles,
-                        "frame_acc": round(acc, 4),
-                        "frame_f1": round(f1, 4),
-                    }
-                ),
-                flush=True,
-            )
+            if args.stamp:
+                # a receipt certifies the asset AS DEPLOYED: score through
+                # resolve_posterior('auto') (baked recommendation / size
+                # policy), the path bench.py and the CLI eval serve on —
+                # not the raw exact posterior a recommendation supersedes.
+                import warnings
+
+                from gpmdm_tpu.filter.particle_filter import resolve_posterior
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    deploy_post = resolve_posterior(m, "auto")
+                acc, f1 = guard(m, posterior=deploy_post)
+            else:
+                acc, f1 = guard(m)
+            row = {
+                "file": os.path.basename(path),
+                "particles": args.particles,
+                "frame_acc": round(acc, 4),
+                "frame_f1": round(f1, 4),
+            }
+            if args.stamp:
+                from gpmdm_tpu.utils.asset_guard import make_receipt
+
+                m._guard_receipt = make_receipt(
+                    m, args.config, args.particles, acc, f1
+                )
+                m._guard_receipt["posterior"] = type(deploy_post).__name__
+                m.save(path)
+                row["stamped"] = m._guard_receipt["platform"]
+            print(json.dumps(row), flush=True)
             continue
         # distillation-deployment sweep: score every (M, method) grid
         # point with the SAME guard, then (--bake) persist only the
