@@ -1237,9 +1237,13 @@ def _pf_scan_bank_flat(
 
 
 def _resolve_bank_impl(pf_cfg: PFConfig, post) -> str:
-    """'auto' bank-impl policy.  The vmap path remains the default until
-    the flat formulation's TPU A/B lands (this gate flips on the measured
-    verdict — docs/BENCHMARKS.md "bank tax"); 'flat' is always available
+    """'auto' bank-impl policy: vmap, by MEASURED verdict.  The round-5
+    interleaved TPU A/B (tools/exp_bank_flat.py, v5e, warm, best-of-4)
+    read flat at 0.86x vmap on 12x10k and 0.91x on 64x1k — the flat
+    formulation's fused (B*P) resample gather does not beat XLA's
+    batched lowering of the vmapped scan, so the hypothesized "vmap
+    tax" is not where the remaining bank overhead lives
+    (docs/BENCHMARKS.md "Flat-bank A/B").  'flat' stays available
     explicitly.  The opt-in Pallas kernels (single observation vector,
     exact posterior only) stay on vmap in any case."""
     if pf_cfg.bank_impl != "auto":

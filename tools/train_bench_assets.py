@@ -140,6 +140,11 @@ def main() -> None:
                          "fewer --steps); cuts save as "
                          "bench_model_<config>_lbfgs_sN.npz so the guard "
                          "can compare optimizers on the same config")
+    ap.add_argument("--out-suffix", default="",
+                    help="append to the output stem (bench_model_<config>"
+                         "<suffix>...): lets experiment arms (e.g. the "
+                         "optimizer A/B) train a committed config without "
+                         "overwriting the deployed, receipt-bound asset")
     ap.add_argument("--save-at", default=None,
                     help="comma list of step counts; saves "
                          "bench_model_<config>_s<N>.npz at each cut "
@@ -231,7 +236,9 @@ def main() -> None:
         m32._precompute_kernel_inverses()
         m32.save(path)
 
-    suffix = "" if args.optimizer == "adam" else f"_{args.optimizer}"
+    suffix = args.out_suffix + (
+        "" if args.optimizer == "adam" else f"_{args.optimizer}"
+    )
     if args.save_at:
         cuts = sorted(int(s) for s in args.save_at.split(","))
         losses, done = [], 0
