@@ -226,12 +226,23 @@ class PFConfig:
         Quad errors only perturb the predictive VARIANCE (never the mean),
         which the resampling step tolerates far better than mean/star-kernel
         errors, so this can be dropped below ``precision``.  None (default)
-        follows ``precision``; 'default' (1-pass bf16) is the measured
-        speed lever (+27% fps at -0.05 frame accuracy on the bench asset —
-        below the 0.90 bar, hence opt-in).  XLA path only: the opt-in
-        fused kernels (``pallas='on'``) run every dot at ``precision``
-        and ignore this knob, as does the sparse posterior (M-sized
-        triangular solves, no quad matmul).
+        lets each backend resolve its own measured default: exact and
+        compressed follow ``precision``; the sparse backend runs
+        per-frame triangular solves — EXCEPT a post-hoc DISTILLED
+        posterior (``GPMDM.sparsified_posterior``), which defaults to the
+        hoisted-inverse 'high' matmul path (measured round 5: +12%/+29%
+        fps at P=10k/100k with the accuracy guard at 1.0 — the tri-solve
+        default is strictly worse there, docs/BENCHMARKS.md "distilled
+        quad-precision grid").  'default' (1-pass bf16) is the measured
+        exact-path speed lever (+27% fps at -0.05 frame accuracy on the
+        bench asset — below the 0.90 bar, hence opt-in); 'trisolve'
+        forces the sparse backends' per-frame triangular-solve variance
+        path (the explicit opt-out of the distilled default — also what
+        keeps the quad A/B arms compiling DIFFERENT programs,
+        tools/exp_quad_precision.py); exact/compressed treat 'trisolve'
+        like None.  XLA path only: the opt-in fused kernels
+        (``pallas='on'``) run every dot at ``precision`` and ignore this
+        knob.
     recon_precision:
         Compressed-posterior backend only: MXU precision for the residual
         reconstruction matmul ``k - U (U^T k)`` of the stable low-rank quad
@@ -300,9 +311,11 @@ class PFConfig:
             raise ValueError("num_particles must be >= 1")
         if self.precision not in ("default", "high", "highest"):
             raise ValueError("precision must be 'default', 'high' or 'highest'")
-        if self.quad_precision not in (None, "default", "high", "highest"):
+        if self.quad_precision not in (None, "default", "high", "highest",
+                                       "trisolve"):
             raise ValueError(
-                "quad_precision must be None, 'default', 'high' or 'highest'"
+                "quad_precision must be None, 'default', 'high', 'highest' "
+                "or 'trisolve'"
             )
         if self.recon_precision not in (None, "default", "high", "highest"):
             raise ValueError(
@@ -335,16 +348,20 @@ class PFConfig:
 
     @property
     def lax_quad_precision(self):
-        """None when ``quad_precision`` is unset — each posterior backend
-        then resolves its OWN default (exact/compressed: the main
-        ``precision``; sparse: the triangular-solve variance path).
-        Passing the main precision through here instead would silently
-        flip the sparse backends onto the hoisted-inverse matmul path —
-        caught when a bench run moved the hourlong guard 0.9994 -> 0.9817
-        with no config change (docs/BENCHMARKS.md "SGPR variance path")."""
+        """None when ``quad_precision`` is unset OR 'trisolve' — each
+        posterior backend then resolves its OWN default (exact/compressed:
+        the main ``precision``; sparse: the triangular-solve variance
+        path; post-hoc distilled: the filter promotes unset-None to the
+        hoisted-inverse 'high' path, see
+        particle_filter._effective_quad_precision — 'trisolve' is the
+        explicit opt-out that stays None there).  Passing the main
+        precision through here instead would silently flip the sparse
+        backends onto the hoisted-inverse matmul path — caught when a
+        bench run moved the hourlong guard 0.9994 -> 0.9817 with no
+        config change (docs/BENCHMARKS.md "SGPR variance path")."""
         import jax
 
-        if self.quad_precision is None:
+        if self.quad_precision in (None, "trisolve"):
             return None
         return {
             "default": jax.lax.Precision.DEFAULT,

@@ -101,6 +101,26 @@ def _predictors(post):
     raise TypeError(f"unknown posterior backend: {type(post)!r}")
 
 
+def _effective_quad_precision(pf_cfg: "PFConfig", post):
+    """Variance-quad precision handed to the posterior backend.
+
+    Explicit ``PFConfig.quad_precision`` always wins ('trisolve' maps to
+    None = the sparse backends' per-frame triangular-solve path; the
+    exact/compressed backends treat it like unset).  With it UNSET, a
+    post-hoc DISTILLED sparse posterior (``post.distilled``, static)
+    defaults to the hoisted-inverse 'high' matmul path: the round-5
+    interleaved grid measured it faster AND more accurate than tri-solve
+    at every particle count on distilled deployments (10k: 4020 fps /
+    guard 1.0 vs 3576 / 0.9758; 100k: 540 / 1.0 vs 417 / 0.9682 —
+    docs/BENCHMARKS.md "distilled quad-precision grid"), while the
+    natively-trained sparse FAMILY regresses under it (hourlong 0.9994 ->
+    0.9817, round 4) and keeps tri-solve.  Resolved at trace time
+    (``distilled`` is static metadata, no runtime branch)."""
+    if pf_cfg.quad_precision is None and getattr(post, "distilled", False):
+        return jax.lax.Precision.HIGH
+    return pf_cfg.lax_quad_precision
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PFState:
@@ -704,7 +724,7 @@ def pf_step(
     else:
         means, variances = predict_x_all_classes(
             post, params, xin, cfg, precision=pf_cfg.lax_precision,
-            quad_precision=pf_cfg.lax_quad_precision,
+            quad_precision=_effective_quad_precision(pf_cfg, post),
             recon_precision=pf_cfg.lax_recon_precision,
             fused=pf_cfg.fused_arg,
         )  # (C, P, d)
@@ -752,7 +772,7 @@ def pf_step(
             post, params, x_new, cfg,
             with_noise=pf_cfg.obs_noise_in_weights,
             precision=pf_cfg.lax_precision,
-            quad_precision=pf_cfg.lax_quad_precision,
+            quad_precision=_effective_quad_precision(pf_cfg, post),
             recon_precision=pf_cfg.lax_recon_precision,
             fused=pf_cfg.fused_arg,
         )  # (P, D)
@@ -1093,7 +1113,7 @@ def _pf_step_flatbank(
         xin = jnp.concatenate([x_flat, states.x_prev.reshape(P, d)], axis=1)
     means, variances = predict_x_all_classes(
         post, params, xin, cfg, precision=pf_cfg.lax_precision,
-        quad_precision=pf_cfg.lax_quad_precision,
+        quad_precision=_effective_quad_precision(pf_cfg, post),
         recon_precision=pf_cfg.lax_recon_precision,
         # the flat path IS a single filter to the backends: the vmap
         # fuse regression does not apply, so 'auto' gates on n_classes
@@ -1113,7 +1133,7 @@ def _pf_step_flatbank(
         post, params, x_new, cfg,
         with_noise=pf_cfg.obs_noise_in_weights,
         precision=pf_cfg.lax_precision,
-        quad_precision=pf_cfg.lax_quad_precision,
+        quad_precision=_effective_quad_precision(pf_cfg, post),
         recon_precision=pf_cfg.lax_recon_precision,
         fused=pf_cfg.fused_arg,
     )  # (P, D)

@@ -77,7 +77,17 @@ class SparseParams:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SparsePosterior:
-    """Precomputed SGPR posterior state for both maps."""
+    """Precomputed SGPR posterior state for both maps.
+
+    ``distilled`` (static, not a leaf): True iff this posterior is a
+    POST-HOC distillation of an exact-trained model (``distill_host`` /
+    ``GPMDM.sparsified_posterior``) rather than a natively-trained sparse
+    family's posterior.  The particle filter keys its variance-path
+    default on it: distilled posteriors run the hoisted-inverse 'high'
+    quad (measured strictly better — speed AND guard accuracy — at every
+    P, round 5), while native sparse-family posteriors keep the
+    per-frame tri-solve default (the hourlong asset regresses under
+    'high', round 4).  See particle_filter._effective_quad_precision."""
 
     X: jax.Array  # latent snapshot (for PF init sampling)
     Zy: jax.Array  # (My, d)
@@ -88,6 +98,9 @@ class SparsePosterior:
     Lx: jax.Array  # (C, Mx, Mx)
     LBx: jax.Array  # (C, Mx, Mx)
     beta_x: jax.Array  # (C, Mx, d)
+    distilled: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 _JITTER = 1e-6
@@ -615,7 +628,9 @@ def distill_host(
         Zy=Zy,
         Zx=Zx,
     )
-    return precompute_host(sp, Y, cfg, layout)
+    return dataclasses.replace(
+        precompute_host(sp, Y, cfg, layout), distilled=True
+    )
 
 
 def init_inducing(

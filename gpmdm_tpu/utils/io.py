@@ -133,6 +133,8 @@ def save_model(model, file_path) -> None:
         if j is None:
             j = _sp_seen[id(post)] = len(_sp_seen)
             for f in dataclasses.fields(post):
+                if f.metadata.get("static"):
+                    continue  # e.g. `distilled` — implied True for this cache
                 arrays[f"sparsified_{j}_{f.name}"] = np.asarray(getattr(post, f.name))
         sp_idx.append(j)
     if sp_keys:
@@ -165,6 +167,8 @@ def save_model(model, file_path) -> None:
     if built is not None and type(built).__name__ == "SparsePosterior":
         meta["posterior_class"] = "SparsePosterior"
         for f in dataclasses.fields(built):
+            if f.metadata.get("static"):
+                continue  # native sparse-family posterior: distilled=False
             arrays[f"post_{f.name}"] = np.asarray(getattr(built, f.name))
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
@@ -298,8 +302,9 @@ def load_model(cls, file_path):
                     **{
                         f.name: jnp.asarray(data[f"post_{f.name}"])
                         for f in dataclasses.fields(SparsePosterior)
+                        if not f.metadata.get("static")
                     }
-                )
+                )  # static `distilled` stays False: native sparse family
                 model._compressed_cache = {}
             else:
                 # lazy: the O(N^3) exact precompute (~30 s at Ny=5120) is
@@ -337,13 +342,18 @@ def load_model(cls, file_path):
                 from ..models.sparse import SparsePosterior
 
                 cache, built = {}, {}
-                fields = [f.name for f in dataclasses.fields(SparsePosterior)]
+                fields = [f.name for f in dataclasses.fields(SparsePosterior)
+                          if not f.metadata.get("static")]
                 idxs = meta.get("sparsified_entry_idx", list(range(len(sp_keys))))
                 for key, j in zip(sp_keys, idxs):
                     if j not in built:
+                        # the sparsified cache holds post-hoc distillations
+                        # by construction -> distilled=True (selects the
+                        # hoisted-inverse quad default, round-5 verdict)
                         built[j] = SparsePosterior(
                             **{f: jnp.asarray(data[f"sparsified_{j}_{f}"])
-                               for f in fields}
+                               for f in fields},
+                            distilled=True,
                         )
                     cache[tuple(key)] = built[j]
                 model._sparsified_cache = cache

@@ -296,3 +296,102 @@ def test_deploy_recommendation_wins_over_thresholds(trained, tmp_path):
     m2._precompute_kernel_inverses()
     assert m2._deploy_recommendation is None
     assert isinstance(resolve_posterior(m2, "auto"), core.Posterior)
+
+
+def test_distilled_flag_static_and_quad_default(trained, tmp_path):
+    """distill_host marks its posteriors ``distilled=True`` as STATIC pytree
+    metadata (not a leaf), the filter resolves the unset quad_precision to
+    the hoisted-inverse 'high' path for them ONLY — the round-5 measured
+    verdict (faster AND more accurate than tri-solve at every P on
+    distilled deployments; the native sparse family keeps tri-solve) —
+    'trisolve' is the explicit opt-out that still compiles a DIFFERENT
+    program (the false-neutral-A/B guard, CLAUDE.md), and the flag
+    survives the checkpoint roundtrip."""
+    import dataclasses
+
+    from gpmdm_tpu.filter import particle_filter as pfmod
+
+    m, te, tel = trained
+    sp = m.sparsified_posterior(96, n_inducing_x=48)
+    assert sp.distilled is True
+    # static: not a pytree leaf (array fields only), and trace-hashable
+    n_data_fields = sum(
+        1 for f in dataclasses.fields(sparse.SparsePosterior)
+        if not f.metadata.get("static")
+    )
+    assert len(jax.tree_util.tree_leaves(sp)) == n_data_fields
+    # natively-built posteriors default to distilled=False
+    assert sparse.SparsePosterior.__dataclass_fields__["distilled"].default is False
+
+    # resolution matrix: explicit always wins; unset-None promotes only
+    # distilled posteriors; 'trisolve' opts back out
+    HIGH = jax.lax.Precision.HIGH
+    assert pfmod._effective_quad_precision(PFConfig(), sp) == HIGH
+    assert pfmod._effective_quad_precision(
+        PFConfig(quad_precision="trisolve"), sp) is None
+    assert pfmod._effective_quad_precision(
+        PFConfig(quad_precision="highest"), sp) == jax.lax.Precision.HIGHEST
+    assert pfmod._effective_quad_precision(PFConfig(), m.posterior) is None
+    native = dataclasses.replace(sp, distilled=False)
+    assert pfmod._effective_quad_precision(PFConfig(), native) is None
+
+    # the two arms compile DIFFERENT programs on a distilled posterior:
+    # the hoisted path carries extra (M, M) @ (M, P) dot_generals where
+    # the opt-out runs per-frame triangular solves
+    log_T = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], dtype=m.dtype))
+    pfc = PFConfig(num_particles=100)
+    state = pfmod.pf_init(
+        sp, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc
+    )
+    Z = jnp.asarray(np.asarray(te[0])[:6], dtype=m.dtype)
+
+    def dot_generals(pfc):
+        jx = jax.make_jaxpr(
+            lambda s, Z: pfmod.pf_scan(s, Z, sp, m.params, log_T, m.config, pfc)
+        )(state, Z)
+
+        def walk(jaxpr):
+            c = 0
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "dot_general":
+                    c += 1
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        c += walk(v.jaxpr)
+                    if isinstance(v, (list, tuple)):
+                        for vi in v:
+                            if hasattr(vi, "jaxpr"):
+                                c += walk(vi.jaxpr)
+            return c
+
+        return walk(jx.jaxpr)
+
+    n_default = dot_generals(PFConfig(num_particles=100))
+    n_trisolve = dot_generals(
+        PFConfig(num_particles=100, quad_precision="trisolve")
+    )
+    assert n_default > n_trisolve
+
+    # ...and agree numerically (same algebra, different op grouping; f64)
+    _, o_def = jax.jit(
+        lambda s, Z: pfmod.pf_scan(s, Z, sp, m.params, log_T, m.config, pfc)
+    )(state, Z)
+    _, o_tri = jax.jit(
+        lambda s, Z: pfmod.pf_scan(
+            s, Z, sp, m.params, log_T, m.config,
+            PFConfig(num_particles=100, quad_precision="trisolve"),
+        )
+    )(state, Z)
+    np.testing.assert_allclose(
+        np.asarray(o_def.class_probs), np.asarray(o_tri.class_probs),
+        rtol=0, atol=1e-9,
+    )
+
+    # roundtrip: the persisted sparsified cache restores distilled=True
+    # (old checkpoints without the field load as distilled via the cache
+    # path too — the flag is implied by the cache, not stored)
+    path = tmp_path / "distilled_flag.npz"
+    m.save(path)
+    m2 = GPMDM.load(path)
+    sp2 = m2.sparsified_posterior(96, n_inducing_x=48)
+    assert sp2.distilled is True

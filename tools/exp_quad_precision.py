@@ -39,11 +39,13 @@ def main() -> None:
     ap.add_argument("--sparsify", type=int, default=None, metavar="M",
                     help="measure the DISTILLED (SGPR M-inducing, kmeans) "
                          "backend instead of exact: quad_precision there "
-                         "selects tri-solve (None) vs hoisted-inverse "
-                         "matmuls at the given MXU passes — the (M, M) "
-                         "solves are far better conditioned than the "
-                         "exact quad, so bf16 is a candidate (round-4 "
-                         "VERDICT #8)")
+                         "selects tri-solve ('trisolve' — the explicit "
+                         "opt-out; distilled posteriors default to "
+                         "hoisted-inverse 'high' since round 5) vs "
+                         "hoisted-inverse matmuls at the given MXU "
+                         "passes — the (M, M) solves are far better "
+                         "conditioned than the exact quad, so bf16 is a "
+                         "candidate (round-4 VERDICT #8)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +80,14 @@ def main() -> None:
     if args.sparsify:
         post = m.sparsified_posterior(args.sparsify, method="kmeans")
         variants = [
-            ("tri-solve (default)", dict(precision="high")),
+            # distilled posteriors now DEFAULT to inv-matmul 'high'
+            # (round-5 grid verdict); 'trisolve' is the explicit opt-out
+            # that keeps this arm a different compiled program from the
+            # inv-matmul arms (CLAUDE.md: equal-reading A/B arms must be
+            # verified to compile different executables)
+            ("tri-solve (opt-out)", dict(precision="high",
+                                         quad_precision="trisolve")),
+            ("default (inv-matmul high)", dict(precision="high")),
             ("inv-matmul highest", dict(precision="high",
                                         quad_precision="highest")),
             ("inv-matmul high", dict(precision="high",
