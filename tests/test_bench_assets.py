@@ -51,7 +51,9 @@ RECEIPT_FLOORS = {
     "bench_model_c8.npz": (0.95, "tpu"),
     "bench_model_c8n5120.npz": (0.97, "tpu"),
     "bench_model_hourlong.npz": (0.99, "tpu"),
-    "bench_model_hourlongh.npz": (0.80, "tpu"),
+    # round-5 upgrade: the L-BFGS s20 cut (guard 0.9847) replaced the
+    # Adam hyperprior plateau cut (0.8499) — BENCHMARKS "TPU-f32 arms"
+    "bench_model_hourlongh.npz": (0.95, "tpu"),
     "bench_model_headlinef.npz": (0.93, None),
     "bench_model_d4f.npz": (0.78, None),
     "bench_model_n2048.npz": (0.96, None),
@@ -217,3 +219,23 @@ def test_baked_sparsified_deployments_present(monkeypatch):
         post = m.sparsified_posterior(**kw)
         assert type(post).__name__ == "SparsePosterior"
         assert post.Zy.shape[0] == key[0]
+
+
+def test_bench_emit_helpers_importable():
+    """The bench emit path must not be able to crash AFTER measurement:
+    round 5's first driver-style run lost a complete measurement to a
+    NameError inside _load_prev_bench (missing module-level os import) —
+    the JSON line is the bench's entire product, so everything the tail
+    touches gets exercised here on CPU."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test",
+        os.path.abspath(os.path.join(ASSETS, os.pardir, "bench.py")),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # import-time code only; main() is gated
+    prev = mod._load_prev_bench()
+    # a committed BENCH_r*.json exists in the repo -> helper must parse it
+    assert prev is not None and isinstance(prev, dict)
+    assert any(k.endswith("_acc") for k in prev)
