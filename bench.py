@@ -188,14 +188,28 @@ def main() -> None:
     )
     state = pf.pf_init(m.posterior, m.layout.y_class_offsets, jax.random.PRNGKey(0), pfc)
 
-    # warm-up (compile)
+    # warm-up (compile).  The FIRST jitted dispatch of the process pays a
+    # one-time device/client handshake that is ENVIRONMENTAL, not a cache
+    # property: measured on a fully-warm committed cache (new_entries=0),
+    # dispatch1 = 176.7 s while the second-shape cached compile = 1.23 s
+    # and the first host fetch = 0.44 s (round 5, /tmp probe; same
+    # 2 s-450 s window CLAUDE.md documents for the first fetch — whichever
+    # device round-trip goes first absorbs it, and the setup-thread warm
+    # fetch cannot shield us when the handshake outlasts model load).  So
+    # attribute the two dispatches separately: cached_compile_s is the
+    # cache-warmth signal (≈1 s when the committed cache hits);
+    # first_program_s is tunnel weather.  compile_s stays the whole-stage
+    # wall for continuity with BENCH_r01-r04.
     t_compile = time.perf_counter()
     with timer.stage("compile"):
         _, outs = scan(state, Z[:2], m.posterior, m.params)
+        first_program_s = time.perf_counter() - t_compile
         jax.block_until_ready(outs.class_probs)
         compile_s = time.perf_counter() - t_compile
         # second shape compile for the full-length scan
+        t2 = time.perf_counter()
         _, outs = scan(state, Z, m.posterior, m.params)
+        cached_compile_s = time.perf_counter() - t2
         jax.block_until_ready(outs.class_probs)
 
     # timed runs: best-of-reps — the min is the true compute floor; the
@@ -627,6 +641,9 @@ def main() -> None:
                 ),
                 "device": str(jax.devices()[0]),
                 "compile_s": round(compile_s, 2),
+                # tunnel weather vs cache warmth (see the warm-up comment)
+                "first_program_s": round(first_program_s, 2),
+                "cached_compile_s": round(cached_compile_s, 2),
                 "setup_s": round(time.perf_counter() - t_setup, 2),
                 "stage_s": {
                     k: round(v / timer.counts[k], 3)
