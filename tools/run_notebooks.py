@@ -29,6 +29,15 @@ ORDER = [
 
 
 def main() -> None:
+    import os
+
+    # Inherited by notebook cells that spawn subprocesses (view_gpmdm_pf
+    # cell 4 runs examples/view_gpmdm_pf.py via subprocess.run): without
+    # it the child lands on the TPU tunnel and pays a 20 min+ uncached
+    # compile for a demo GIF.  gpmdm_tpu/__init__ honors the variable.
+    os.environ["GPMDM_TPU_PLATFORM"] = "cpu"
+    # child processes also share the persistent CPU compile cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
