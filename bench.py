@@ -116,9 +116,13 @@ def main() -> None:
     import os
 
     # Warm the device->host transfer path concurrently with setup: the
-    # FIRST fetch in a process pays a transport-init cost measured
-    # anywhere from 2 s to 450 s on this tunnel (CLAUDE.md); doing it in
-    # a daemon thread overlaps that wait with model load + compiles.
+    # FIRST device round-trip of the process pays a transport/handshake
+    # cost measured anywhere from 2 s to 450 s on this tunnel (CLAUDE.md);
+    # doing it in a daemon thread overlaps that wait with model load, and
+    # JOINING it before the compile stage keeps the environmental wall
+    # out of compile_s (it lands in the transport_handshake section
+    # instead — otherwise the headline scan's first dispatch absorbs it
+    # and a warm cache reads as a 268 s compile wall).
     import threading
 
     def _warm_fetch():
@@ -127,7 +131,8 @@ def main() -> None:
         except Exception:
             pass
 
-    threading.Thread(target=_warm_fetch, daemon=True).start()
+    _warm_thread = threading.Thread(target=_warm_fetch, daemon=True)
+    _warm_thread.start()
 
     timer = StageTimer()
     t_setup = time.perf_counter()
@@ -183,6 +188,12 @@ def main() -> None:
     Z = jnp.asarray(Z, dtype=m.dtype)
 
     _mark("load_model_data")
+    # Block until the transport handshake is done so the compile stage
+    # times COMPILATION (see the warm-fetch comment above).  Total wall
+    # is unchanged — the handshake always outlasts model load here; this
+    # only moves the wait into its own honestly-labeled section.
+    _warm_thread.join()
+    _mark("transport_handshake")
     scan = jax.jit(
         lambda s, Z, post, params: pf.pf_scan(s, Z, post, params, log_T, cfg, pfc)
     )

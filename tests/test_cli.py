@@ -139,3 +139,26 @@ def test_cli_eval_trace_writes_profiler_capture(tmp_path, capsys):
     assert "profiler trace written" in capsys.readouterr().out
     files = list(trace_dir.rglob("*.xplane.pb"))
     assert files, list(trace_dir.rglob("*"))
+
+
+def test_platform_env_var_honored_at_package_import():
+    """GPMDM_TPU_PLATFORM pins the JAX platform at gpmdm_tpu import time
+    (round 5): a sitecustomize registers the TPU plugin at interpreter
+    start and JAX_PLATFORMS is ignored, so subprocesses spawned by
+    notebooks/tools (e.g. view_gpmdm_pf.ipynb cell 4 running
+    examples/view_gpmdm_pf.py) previously landed on the TPU tunnel and
+    hung in an uncached compile.  The override must work in a FRESH
+    interpreter, before any backend touch."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GPMDM_TPU_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import gpmdm_tpu, jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, env=env, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
